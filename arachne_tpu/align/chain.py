@@ -1,0 +1,279 @@
+"""Seed chaining and chain filtering.
+
+Reproduces mem_chain (bwamem.c:251-315), test_and_merge (:190-211),
+mem_chain_weight (:213-232), mem_chain_flt (:327-385) and
+mem_flt_chained_seeds (:598-615).  The reference uses a B-tree keyed by
+chain position; we use a sorted list with bisect — iteration order and
+merge decisions are identical.
+"""
+
+from __future__ import annotations
+
+import bisect
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import MemOptions
+from ..index.fmindex import FMIndex
+from .smem import SMEM, collect_seeds
+
+MEM_SHORT_EXT = 50
+MEM_SHORT_LEN = 200
+MEM_HSP_COEF = 1.1
+MEM_MINSC_COEF = 5.5
+MEM_SEEDSW_COEF = 0.05
+
+
+@dataclass
+class Seed:
+    """mem_seed_t: one seed occurrence on the fwd-rev reference."""
+
+    rbeg: int
+    qbeg: int
+    len: int
+    score: int
+
+
+@dataclass
+class Chain:
+    """mem_chain_t."""
+
+    pos: int
+    rid: int
+    seeds: List[Seed] = field(default_factory=list)
+    w: int = 0
+    kept: int = 0
+    first: int = -1
+    is_alt: bool = False
+    frac_rep: float = 0.0
+
+    @property
+    def qbeg(self) -> int:
+        return self.seeds[0].qbeg
+
+    @property
+    def qend(self) -> int:
+        last = self.seeds[-1]
+        return last.qbeg + last.len
+
+
+def chain_weight(c: Chain) -> int:
+    """mem_chain_weight (bwamem.c:213-232): min of query/ref coverage."""
+    w = 0
+    end = 0
+    for s in c.seeds:
+        if s.qbeg >= end:
+            w += s.len
+        elif s.qbeg + s.len > end:
+            w += s.qbeg + s.len - end
+        end = max(end, s.qbeg + s.len)
+    tmp = w
+    w = 0
+    end = 0
+    for s in c.seeds:
+        if s.rbeg >= end:
+            w += s.len
+        elif s.rbeg + s.len > end:
+            w += s.rbeg + s.len - end
+        end = max(end, s.rbeg + s.len)
+    w = min(w, tmp)
+    return min(w, (1 << 30) - 1)
+
+
+def _test_and_merge(opt: MemOptions, l_pac: int, c: Chain, s: Seed, seed_rid: int) -> bool:
+    """test_and_merge (bwamem.c:190-211)."""
+    last = c.seeds[-1]
+    qend = last.qbeg + last.len
+    rend = last.rbeg + last.len
+    if seed_rid != c.rid:
+        return False
+    if (
+        s.qbeg >= c.seeds[0].qbeg
+        and s.qbeg + s.len <= qend
+        and s.rbeg >= c.seeds[0].rbeg
+        and s.rbeg + s.len <= rend
+    ):
+        return True  # contained; do nothing
+    if (last.rbeg < l_pac or c.seeds[0].rbeg < l_pac) and s.rbeg >= l_pac:
+        return False  # different strands
+    x = s.qbeg - last.qbeg
+    y = s.rbeg - last.rbeg
+    if (
+        y >= 0
+        and x - y <= opt.w
+        and y - x <= opt.w
+        and x - last.len < opt.max_chain_gap
+        and y - last.len < opt.max_chain_gap
+    ):
+        c.seeds.append(s)
+        return True
+    return False
+
+
+def mem_chain(idx: FMIndex, q: np.ndarray, opt: MemOptions) -> List[Chain]:
+    """mem_chain (bwamem.c:251-315): SMEMs -> chains of co-linear seeds."""
+    length = len(q)
+    if length < opt.min_seed_len:
+        return []
+    mems = collect_seeds(idx, q, opt)
+
+    # frac_rep: fraction of the read covered by high-occ seeds (:265-272)
+    l_rep = 0
+    b = e = 0
+    for p in mems:
+        if p.s <= opt.max_occ:
+            continue
+        sb, se = p.qb, p.qe
+        if sb > e:
+            l_rep += e - b
+            b, e = sb, se
+        else:
+            e = max(e, se)
+    l_rep += e - b
+
+    chains: List[Chain] = []      # kept sorted by pos
+    positions: List[int] = []
+    l_pac = idx.l_pac
+    for p in mems:
+        slen = p.length
+        step = p.s // opt.max_occ if p.s > opt.max_occ else 1
+        count = 0
+        k = 0
+        while k < p.s and count < opt.max_occ:
+            rbeg = int(idx.sa(np.array([p.k + k]))[0])
+            seed = Seed(rbeg=rbeg, qbeg=p.qb, len=slen, score=slen)
+            rid = int(idx.intv2rid(np.array([rbeg]), np.array([rbeg + slen]))[0])
+            if rid >= 0:
+                to_add = True
+                if chains:
+                    # closest chain with pos <= rbeg (kb_intervalp "lower")
+                    ins = bisect.bisect_right(positions, rbeg)
+                    if ins > 0 and _test_and_merge(opt, l_pac, chains[ins - 1], seed, rid):
+                        to_add = False
+                if to_add:
+                    c = Chain(pos=rbeg, rid=rid, seeds=[seed])
+                    ins = bisect.bisect_left(positions, rbeg)
+                    positions.insert(ins, rbeg)
+                    chains.insert(ins, c)
+            k += step
+            count += 1
+    fr = l_rep / length
+    for c in chains:
+        c.frac_rep = fr
+    return chains
+
+
+def chain_filter(opt: MemOptions, chains: List[Chain]) -> List[Chain]:
+    """mem_chain_flt (bwamem.c:327-385)."""
+    if not chains:
+        return []
+    a = []
+    for c in chains:
+        c.first = -1
+        c.kept = 0
+        c.w = chain_weight(c)
+        if c.w >= opt.min_chain_weight:
+            a.append(c)
+    if not a:
+        return []
+    # sort by weight descending (flt_lt: (a).w > (b).w), stable
+    a.sort(key=lambda c: -c.w)
+    kept_idx = [0]
+    a[0].kept = 3
+    for i in range(1, len(a)):
+        large_ovlp = False
+        broke = False
+        for j in kept_idx:
+            b_max = max(a[j].qbeg, a[i].qbeg)
+            e_min = min(a[j].qend, a[i].qend)
+            if e_min > b_max and (not a[j].is_alt or a[i].is_alt):
+                li = a[i].qend - a[i].qbeg
+                lj = a[j].qend - a[j].qbeg
+                min_l = min(li, lj)
+                if e_min - b_max >= min_l * opt.mask_level and min_l < opt.max_chain_gap:
+                    large_ovlp = True
+                    if a[j].first < 0:
+                        a[j].first = i
+                    if (
+                        a[i].w < a[j].w * opt.drop_ratio
+                        and a[j].w - a[i].w >= opt.min_seed_len * 2
+                    ):
+                        broke = True
+                        break
+        if not broke:
+            kept_idx.append(i)
+            a[i].kept = 2 if large_ovlp else 3
+    for j in kept_idx:
+        if a[j].first >= 0:
+            a[a[j].first].kept = 1
+    # cap the number of kept=1/2 chains to extend (:373-378)
+    k = 0
+    cut = len(a)
+    for i, c in enumerate(a):
+        if c.kept == 0 or c.kept == 3:
+            continue
+        k += 1
+        if k >= opt.max_chain_extend:
+            cut = i
+            break
+    for i in range(cut, len(a)):
+        if a[i].kept < 3:
+            a[i].kept = 0
+    return [c for c in a if c.kept != 0]
+
+
+def _seed_sw(idx: FMIndex, q: np.ndarray, s: Seed, opt: MemOptions, mat) -> int:
+    """mem_seed_sw (bwamem.c:571-596)."""
+    from . import ksw
+
+    l_query = len(q)
+    l_pac = idx.l_pac
+    if s.len >= MEM_SHORT_LEN:
+        return -1
+    qb, qe = s.qbeg, s.qbeg + s.len
+    rb, re = s.rbeg, s.rbeg + s.len
+    mid = (rb + re) >> 1
+    qb = max(qb - MEM_SHORT_EXT, 0)
+    qe = min(qe + MEM_SHORT_EXT, l_query)
+    rb = max(rb - MEM_SHORT_EXT, 0)
+    re = min(re + MEM_SHORT_EXT, l_pac << 1)
+    if rb < l_pac < re:
+        if mid < l_pac:
+            re = l_pac
+        else:
+            rb = l_pac
+    if qe - qb >= MEM_SHORT_LEN or re - rb >= MEM_SHORT_LEN:
+        return -1
+    rseq, rid, rb, re = idx.fetch_seq(rb, mid, re)
+    res = ksw.align2(
+        q[qb:qe], rseq, mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, ksw.KSW_XSTART
+    )
+    return res.score
+
+
+def filter_chained_seeds(
+    idx: FMIndex, q: np.ndarray, chains: List[Chain], opt: MemOptions
+) -> None:
+    """mem_flt_chained_seeds (bwamem.c:598-615).  No-op for short reads
+    (min_l > 0.05*l_query), which covers all linked-read inputs."""
+    l_query = len(q)
+    min_l = (
+        MEM_HSP_COEF * opt.min_chain_weight
+        if opt.min_chain_weight
+        else MEM_MINSC_COEF * math.log(l_query)
+    )
+    if min_l > MEM_SEEDSW_COEF * l_query:
+        return
+    mat = opt.scoring_matrix()
+    min_hsp_score = int(opt.a * min_l + 0.499)
+    for c in chains:
+        kept = []
+        for s in c.seeds:
+            s.score = _seed_sw(idx, q, s, opt, mat)
+            if s.score < 0 or s.score >= min_hsp_score:
+                s.score = s.len * opt.a if s.score < 0 else s.score
+                kept.append(s)
+        c.seeds = kept
