@@ -176,9 +176,9 @@ class TestPairRescue:
         # reverse-hit offset is the rightmost base (bridge convention)
         assert a2[0].offset == pos + 299 - contig_off
 
-    def test_rescue_recovers_mutated_mate(self, ref, rng):
+    def test_rescue_recovers_mutated_mate(self, ref):
         idx, fwd = ref
-        pos, frag = sample_read(rng, fwd, 280)
+        pos, frag = sample_read(np.random.default_rng(7), fwd, 280)
         r1 = frag[:100].copy()
         r2full = revcomp(frag[180:280])
         # heavily mutate r2's seeds: every 12th base, so no 19bp exact seed
