@@ -193,4 +193,5 @@ class TestPairRescue:
         best2 = a2[0]
         assert best2.reversed_
         # local SW clips mutated edge bases, so allow one mutation period
-        assert abs((best2.aend + 1) - (pos + 180)) <= 12
+        contig_off = idx.packed.anns[best2.rid].offset
+        assert abs((best2.aend + 1) - (pos + 180 - contig_off)) <= 12
