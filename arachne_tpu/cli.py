@@ -1,0 +1,182 @@
+"""arachne-tpu command line.
+
+Usage mirrors the reference (main.go:25-103):
+
+    arachne_tpu align <opts> output_dir reference.fa R1.fq R2.fq
+    arachne_tpu index reference.fa
+    arachne_tpu standardize R1.fq R2.fq        (preprocess subcommand intent,
+    arachne_tpu sort R1.fq R2.fq                main.go:85 TODO)
+
+Flags: -c/--centromeres, -i/--improper-pair-penalty (-4), -p/--partitions
+(40 Mbp), -r/--read-group, -s/--sample-id, -t/--threads, plus --sam and
+--engine extensions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+from . import __version__
+from .config import ArachneConfig, OutputOptions, RFAOptions
+from .rfa.types import Region
+
+
+def load_centromeres(path: Optional[str]) -> Dict[str, Region]:
+    """loadCentromeres (aligner.go:375-399): TSV rows
+    CEN<chr>\t<chr>\t<start>\t<stop>; other rows ignored."""
+    out: Dict[str, Region] = {}
+    if not path:
+        return out
+    with open(path) as fh:
+        for line in fh:
+            if not line.startswith("CEN"):
+                continue
+            tokens = line.rstrip("\n").split("\t")
+            if len(tokens) < 4:
+                continue
+            try:
+                start, end = int(tokens[2]), int(tokens[3])
+            except ValueError:
+                continue
+            out[tokens[1]] = Region(start=start, end=end)
+    return out
+
+
+def load_or_build_index(reference: str, keep_full_sa: bool = True):
+    from .index import FMIndex, build_index_files, load_index
+
+    arx = reference + ".arx.npz"
+    if not os.path.exists(arx):
+        print(f"Building index for {reference} ...", flush=True)
+        t0 = time.time()
+        build_index_files(reference, keep_full_sa=keep_full_sa)
+        print(f"Index built in {time.time() - t0:.1f}s", flush=True)
+    packed, fm = load_index(arx)
+    return FMIndex(packed, fm)
+
+
+def run_align(args) -> None:
+    """The Arachne() pipeline (aligner.go:269-373)."""
+    from .io.bam import BAMWriters
+    from .io.fastq import iter_barcode_sets
+    from .rfa.engine import do_rfa_for_one_barcode
+    from .runtime.stats import RunStats
+
+    print(f"Starting arachne-tpu. Version: {__version__}")
+    cfg = ArachneConfig(
+        rfa=RFAOptions(improper_pair_penalty=args.improper_pair_penalty),
+        output=OutputOptions(
+            position_chunk_size=args.partitions,
+            read_groups=args.read_group,
+            sample_id=args.sample_id,
+            debug_tags=args.debug_tags,
+            emit_sam=args.sam,
+        ),
+        centromeres=args.centromeres,
+        threads=args.threads,
+    )
+    centromeres = load_centromeres(args.centromeres)
+    if not os.path.isdir(args.output):
+        os.makedirs(args.output, exist_ok=True)
+    if not os.access(args.output, os.W_OK):
+        raise SystemExit(f"Output directory not writable: {args.output}")
+    print(f"Loading reference: {args.reference}")
+    idx = load_or_build_index(args.reference)
+    print("Reference loaded")
+    bams = BAMWriters(idx, args.output, cfg, version=__version__)
+    stats = RunStats()
+    engine = None
+    if args.engine == "tpu":
+        from .ops.batch import make_tpu_extender
+
+        engine = make_tpu_extender(cfg.mem)
+    t0 = time.time()
+    for records, unique in iter_barcode_sets(args.r1, args.r2):
+        res = do_rfa_for_one_barcode(
+            idx, cfg, records, unique, centromeres, extender=engine
+        )
+        bams.dump(res.alignments, res.attach_bx)
+        stats.note_barcode(res)
+        if len(records) > 2:
+            print(
+                f"working on barcode {res.barcode}  num reads: {len(records)}  "
+                f"doing RFA: {res.ran_rfa}  unique_barcode {unique}"
+            )
+    bams.close()
+    dt = time.time() - t0
+    stats.finish(dt)
+    print(
+        f"Arachne completed successfully: {stats.reads} read pairs, "
+        f"{stats.barcodes} barcodes, {stats.reads / max(dt, 1e-9):.1f} pairs/s"
+    )
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        prog="arachne_tpu",
+        description="TPU-native linked-read aligner (haplotagging/stLFR/TELLseq)",
+    )
+    sub = parser.add_subparsers(dest="command")
+
+    al = sub.add_parser("align", help="align barcode-sorted paired FASTQ")
+    al.add_argument("-c", "--centromeres", default="")
+    al.add_argument("-i", "--improper-pair-penalty", type=float, default=-4.0)
+    al.add_argument("-p", "--partitions", type=int, default=40_000_000)
+    al.add_argument("-r", "--read-group", default="sample:library:molecule:flowcell:lane")
+    al.add_argument("-s", "--sample-id", default="sample")
+    al.add_argument("-t", "--threads", type=int, default=2)
+    al.add_argument("--sam", action="store_true", help="emit SAM text instead of BAM")
+    al.add_argument("--debug-tags", action="store_true")
+    al.add_argument("--engine", choices=["oracle", "tpu"], default="oracle")
+    al.add_argument("output")
+    al.add_argument("reference")
+    al.add_argument("r1")
+    al.add_argument("r2")
+    al.set_defaults(func=run_align)
+
+    ix = sub.add_parser("index", help="build the FM-index for a FASTA reference")
+    ix.add_argument("reference")
+    ix.add_argument("--sampled-sa", action="store_true", help="store sampled SA only")
+
+    st = sub.add_parser("standardize", help="convert linked-read FASTQ to BX:Z/VX:i form")
+    st.add_argument("r1")
+    st.add_argument("r2")
+    st.add_argument("--out-r1", default="standard.R1.fq.gz")
+    st.add_argument("--out-r2", default="standard.R2.fq.gz")
+
+    so = sub.add_parser("sort", help="barcode-sort paired FASTQ")
+    so.add_argument("r1")
+    so.add_argument("r2")
+    so.add_argument("--out-r1", default="bc_sorted.R1.fq.gz")
+    so.add_argument("--out-r2", default="bc_sorted.R2.fq.gz")
+
+    args = parser.parse_args(argv)
+    if args.command == "align":
+        run_align(args)
+    elif args.command == "index":
+        from .index import build_index_files
+
+        out = build_index_files(args.reference, keep_full_sa=not args.sampled_sa)
+        print(f"Index written to {out}")
+    elif args.command == "standardize":
+        from .io.standardize import standardize
+
+        o1, o2 = standardize(args.r1, args.r2, args.out_r1, args.out_r2)
+        print(f"Standardized FASTQ: {o1} {o2}")
+    elif args.command == "sort":
+        from .io.preprocess import barcode_sort
+
+        o1, o2 = barcode_sort(args.r1, args.r2, args.out_r1, args.out_r2)
+        print(f"Barcode-sorted FASTQ: {o1} {o2}")
+    else:
+        parser.print_help()
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

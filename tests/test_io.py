@@ -1,0 +1,128 @@
+"""Tests for FASTQ reading/barcode grouping, standardization, barcode sort."""
+
+import gzip
+
+import pytest
+
+from arachne_tpu.io.fastq import FastQReader, parse_header
+from arachne_tpu.io.preprocess import barcode_sort
+from arachne_tpu.io.standardize import detect_format, extract_barcode, standardize
+
+
+def write_pair(tmp_path, name, entries):
+    """entries: list of (header_r1, seq, qual) — r2 mirrors r1."""
+    r1 = str(tmp_path / f"{name}.R1.fq.gz")
+    r2 = str(tmp_path / f"{name}.R2.fq.gz")
+    with gzip.open(r1, "wt") as f1, gzip.open(r2, "wt") as f2:
+        for hdr, seq, qual in entries:
+            f1.write(f"{hdr}\n{seq}\n+\n{qual}\n")
+            f2.write(f"{hdr}\n{seq}\n+\n{qual}\n")
+    return r1, r2
+
+
+class TestParseHeader:
+    def test_standard_header(self):
+        info, bc, valid = parse_header(b"read1/1\tBX:Z:A01C02B03D04\tVX:i:1\n")
+        assert info == "read1"
+        assert bc == b"A01C02B03D04"
+        assert valid
+
+    def test_invalid_vx(self):
+        _, _, valid = parse_header(b"read1/1\tBX:Z:AAA\tVX:i:0\n")
+        assert not valid
+
+    def test_missing_bx(self):
+        info, bc, valid = parse_header(b"read1/1 some comment\n")
+        assert bc == b"" and not valid
+
+
+class TestBarcodeSets:
+    def test_grouping(self, tmp_path):
+        entries = []
+        for bc, n in [("BC01", 3), ("BC02", 2), ("BC03", 4)]:
+            for i in range(n):
+                entries.append((f"@r_{bc}_{i}/1\tBX:Z:{bc}\tVX:i:1", "ACGT" * 10, "I" * 40))
+        r1, r2 = write_pair(tmp_path, "groups", entries)
+        reader = FastQReader(r1, r2)
+        sets = []
+        while True:
+            records, unique = reader.read_barcode_set()
+            if records is None:
+                break
+            sets.append((records[0].barcode, len(records), unique))
+        assert sets == [(b"BC01", 3, True), (b"BC02", 2, True), (b"BC03", 4, True)]
+
+    def test_record_fields(self, tmp_path):
+        entries = [("@q0/1\tBX:Z:AAAA\tVX:i:1", "ACGTACGTACGTACGTACGT", "IIIIIIIIIIIIIIIIIIII")]
+        r1, r2 = write_pair(tmp_path, "fields", entries)
+        reader = FastQReader(r1, r2)
+        records, unique = reader.read_barcode_set()
+        assert len(records) == 1
+        rec = records[0]
+        assert rec.read1 == b"ACGTACGTACGTACGTACGT"
+        assert rec.qual1 == b"IIIIIIIIIIIIIIIIIIII"
+        assert rec.read_info == "q0"
+        assert rec.valid
+
+
+class TestStandardize:
+    def test_detect_standard(self, tmp_path):
+        r1, r2 = write_pair(
+            tmp_path, "std", [("@r/1\tBX:Z:AAA\tVX:i:1", "ACGT", "IIII")]
+        )
+        assert detect_format(r1, r2) == "standard"
+
+    def test_detect_haplotagging(self, tmp_path):
+        r1, r2 = write_pair(
+            tmp_path, "hap", [("@r/1\tBX:Z:A01C02B03D04", "ACGT", "IIII")]
+        )
+        assert detect_format(r1, r2) == "haplotagging"
+
+    def test_detect_stlfr(self, tmp_path):
+        r1, r2 = write_pair(tmp_path, "stlfr", [("@r#12_34_56 extra", "ACGT", "IIII")])
+        assert detect_format(r1, r2) == "stlfr"
+
+    def test_detect_tellseq(self, tmp_path):
+        r1, r2 = write_pair(tmp_path, "tell", [("@r:ACGTACGTAC comment", "ACGT", "IIII")])
+        assert detect_format(r1, r2) == "tellseq"
+
+    def test_validity_conventions(self):
+        bc, v = extract_barcode(b"x#12_0_56 \n", "stlfr")
+        assert bc == b"12_0_56" and not v
+        bc, v = extract_barcode(b"x#12_34_56 \n", "stlfr")
+        assert v
+        bc, v = extract_barcode(b"x:ACGNTT rest\n", "tellseq")
+        assert bc == b"ACGNTT" and not v
+        bc, v = extract_barcode(b"BX:Z:A00C02B03D04 \n", "haplotagging")
+        assert not v
+        bc, v = extract_barcode(b"BX:Z:A01C02B03D04 \n", "haplotagging")
+        assert v
+
+    def test_conversion_roundtrip(self, tmp_path):
+        r1, r2 = write_pair(
+            tmp_path, "conv", [("@rd#12_34_56 x", "ACGTACGT", "IIIIIIII")]
+        )
+        o1 = str(tmp_path / "out.R1.fq.gz")
+        o2 = str(tmp_path / "out.R2.fq.gz")
+        standardize(r1, r2, o1, o2)
+        assert detect_format(o1, o2) == "standard"
+        with gzip.open(o1, "rt") as fh:
+            hdr = fh.readline()
+        assert "BX:Z:12_34_56" in hdr and "VX:i:1" in hdr
+
+
+class TestBarcodeSort:
+    def test_sorts_by_barcode(self, tmp_path):
+        entries = [
+            ("@a/1\tBX:Z:ZZZ\tVX:i:1", "AAAA", "IIII"),
+            ("@b/1\tBX:Z:AAA\tVX:i:1", "CCCC", "IIII"),
+            ("@c/1\tBX:Z:MMM\tVX:i:1", "GGGG", "IIII"),
+            ("@d/1\tBX:Z:AAA\tVX:i:1", "TTTT", "IIII"),
+        ]
+        r1, r2 = write_pair(tmp_path, "unsorted", entries)
+        o1 = str(tmp_path / "s.R1.fq.gz")
+        o2 = str(tmp_path / "s.R2.fq.gz")
+        barcode_sort(r1, r2, o1, o2, chunk_records=2)  # force external merge
+        with gzip.open(o1, "rt") as fh:
+            names = [l.split("\t")[0] for i, l in enumerate(fh) if i % 4 == 0]
+        assert names == ["@b/1", "@d/1", "@c/1", "@a/1"]  # stable within AAA
