@@ -115,9 +115,10 @@ def extend2(
         ehe[end] = 0
         h1_last = H[-1] if n > 0 else h1_init
         if end == qlen:
-            if h1_last > gscore:
+            # ksw.c:451-452: max_ie also updates when gscore ties h1
+            if not (gscore > h1_last):
                 max_ie = i
-                gscore = int(h1_last)
+            gscore = max(gscore, int(h1_last))
         if m == 0:
             break
         if m > maxv:

@@ -1,0 +1,203 @@
+"""Batched device execution of the candidate-generation DP.
+
+``batch_align_single`` runs mem_align1_core over MANY reads with all seed
+extensions executed as device batches instead of per-seed scalar DP:
+
+  1. host: chaining + filtering per read (FM-index batch queries);
+  2. wave 1: every seed's LEFT extension at both band widths (the
+     reference's band-doubling retry, bwamem.c:723-733) in one batch;
+  3. wave 2: every seed's RIGHT extension — its h0 is the left-extended
+     score, which wave 1 determined (including which band try "won") —
+     again at both bands, one batch;
+  4. host: replay chain2aln's sequential bookkeeping (containment skips,
+     band retries, local-vs-to-end choice) with the precomputed results.
+
+The replay is exact: extension inputs never depend on *other* seeds'
+extension outputs, only the right-extension h0 depends on the same seed's
+left result, which the two-wave split resolves.  The replay extender looks
+results up by problem content, so chain2aln's code path is identical to
+the scalar engine's.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..align.chain import Chain, chain_filter, filter_chained_seeds, mem_chain
+from ..align.extend import AlnReg, MAX_BAND_TRY, cal_max_gap, chain2aln, sort_dedup_patch
+from ..config import MemOptions
+from ..index.fmindex import FMIndex
+from .sw_extend import BatchExtender
+
+
+def _problem_key(qs: np.ndarray, ts: np.ndarray, w: int, end_bonus: int, h0: int):
+    return (qs.tobytes(), ts.tobytes(), w, end_bonus, h0)
+
+
+class _SeedProblems:
+    """Extension problems for one seed within one chain."""
+
+    __slots__ = ("left", "right_parts", "h0")
+
+    def __init__(self):
+        self.left = None          # (qs, rs) or None
+        self.right_parts = None   # (q_tail, r_tail) or None
+        self.h0 = 0               # s.len * a
+
+
+def _chain_window(idx: FMIndex, q: np.ndarray, c: Chain, opt: MemOptions):
+    """The rmax/rseq construction of mem_chain2aln (bwamem.c:642-659)."""
+    l_query = len(q)
+    l_pac = idx.l_pac
+    rmax0, rmax1 = l_pac << 1, 0
+    for t in c.seeds:
+        b = t.rbeg - (t.qbeg + cal_max_gap(opt, t.qbeg))
+        e = t.rbeg + t.len + (
+            (l_query - t.qbeg - t.len) + cal_max_gap(opt, l_query - t.qbeg - t.len)
+        )
+        rmax0 = min(rmax0, b)
+        rmax1 = max(rmax1, e)
+    rmax0 = max(rmax0, 0)
+    rmax1 = min(rmax1, l_pac << 1)
+    if rmax0 < l_pac < rmax1:
+        if c.seeds[0].rbeg < l_pac:
+            rmax1 = l_pac
+        else:
+            rmax0 = l_pac
+    rseq, rid, rmax0, rmax1 = idx.fetch_seq(rmax0, c.seeds[0].rbeg, rmax1)
+    return rseq, rmax0
+
+
+def _effective_band_score(results: List[Tuple], opt: MemOptions) -> Tuple:
+    """Replay the band-doubling retry (bwamem.c:723-733): returns the
+    result tuple of the band try the scalar driver would settle on."""
+    score = -1
+    chosen = results[0]
+    for i, res in enumerate(results):
+        prev = score
+        aw = opt.w << i
+        chosen = res
+        score = res[0]
+        if score == prev or res[5] < (aw >> 1) + (aw >> 2):
+            break
+    return chosen
+
+
+def batch_align_single(
+    idx: FMIndex,
+    opt: MemOptions,
+    reads: List[np.ndarray],
+    extender_batch: Optional[BatchExtender] = None,
+    mat: Optional[np.ndarray] = None,
+) -> List[List[AlnReg]]:
+    """mem_align1_core over a batch of reads with device-batched extension."""
+    if mat is None:
+        mat = opt.scoring_matrix()
+    if extender_batch is None:
+        extender_batch = BatchExtender(opt)
+
+    per_read_chains: List[List[Chain]] = []
+    seed_probs: List[_SeedProblems] = []
+    for codes in reads:
+        chains = mem_chain(idx, codes, opt)
+        chains = chain_filter(opt, chains)
+        filter_chained_seeds(idx, codes, chains, opt)
+        per_read_chains.append(chains)
+        l_query = len(codes)
+        for c in chains:
+            if not c.seeds:
+                continue
+            rseq, rmax0 = _chain_window(idx, codes, c, opt)
+            for s in c.seeds:
+                sp = _SeedProblems()
+                sp.h0 = s.len * opt.a
+                if s.qbeg:
+                    qs = codes[: s.qbeg][::-1].copy()
+                    rs = rseq[: s.rbeg - rmax0][::-1].copy()
+                    sp.left = (qs, rs)
+                if s.qbeg + s.len != l_query:
+                    sp.right_parts = (
+                        codes[s.qbeg + s.len :],
+                        rseq[s.rbeg + s.len - rmax0 :],
+                    )
+                seed_probs.append(sp)
+
+    cache: Dict[Tuple, Tuple] = {}
+
+    # wave 1: left extensions, both bands
+    wave1: List[Tuple] = []
+    for sp in seed_probs:
+        if sp.left is not None:
+            qs, rs = sp.left
+            for i in range(MAX_BAND_TRY):
+                wave1.append((qs, rs, opt.w << i, opt.pen_clip5, sp.h0))
+    if wave1:
+        for p in wave1:
+            extender_batch.submit(*p)
+        for p, res in zip(wave1, extender_batch.run()):
+            cache[_problem_key(*p)] = res
+
+    # wave 2: right extensions with sc0 from wave 1
+    wave2: List[Tuple] = []
+    for sp in seed_probs:
+        if sp.right_parts is None:
+            continue
+        if sp.left is not None:
+            qs, rs = sp.left
+            left_results = [
+                cache[_problem_key(qs, rs, opt.w << i, opt.pen_clip5, sp.h0)]
+                for i in range(MAX_BAND_TRY)
+            ]
+            sc0 = _effective_band_score(left_results, opt)[0]
+        else:
+            sc0 = sp.h0
+        qt, rt = sp.right_parts
+        for i in range(MAX_BAND_TRY):
+            wave2.append((qt, rt, opt.w << i, opt.pen_clip3, sc0))
+    if wave2:
+        for p in wave2:
+            extender_batch.submit(*p)
+        for p, res in zip(wave2, extender_batch.run()):
+            cache[_problem_key(*p)] = res
+
+    misses = [0]
+
+    def lookup_extender(qs, ts, w, end_bonus, h0):
+        key = _problem_key(np.asarray(qs), np.asarray(ts), w, end_bonus, h0)
+        res = cache.get(key)
+        if res is None:
+            misses[0] += 1
+            from ..align import ksw
+
+            res = ksw.extend2(
+                np.asarray(qs), np.asarray(ts), mat,
+                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                w, end_bonus, opt.zdrop, h0,
+            )
+            cache[key] = res
+        return res
+
+    out: List[List[AlnReg]] = []
+    for codes, chains in zip(reads, per_read_chains):
+        regs: List[AlnReg] = []
+        for c in chains:
+            chain2aln(idx, codes, c, opt, regs, extender=lookup_extender, mat=mat)
+        regs = sort_dedup_patch(opt, regs, idx, codes, mat)
+        out.append(regs)
+    return out
+
+
+def make_tpu_extender(opt: MemOptions):
+    """A synchronous per-problem device extender (for the pluggable
+    extender interface).  Correct but not batched — the batched path is
+    batch_align_single; this exists so --engine tpu exercises the device
+    kernel end-to-end."""
+    be = BatchExtender(opt)
+
+    def run(qs, ts, w, end_bonus, h0):
+        be.submit(np.asarray(qs), np.asarray(ts), w, end_bonus, h0)
+        return be.run()[0]
+
+    return run

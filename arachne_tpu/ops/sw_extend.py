@@ -1,0 +1,255 @@
+"""Batched banded seed-extension DP on TPU (JAX/XLA formulation).
+
+TPU-native reformulation of ksw_extend2 (ksw.c:380-479): instead of one
+scalar banded DP per seed, thousands of (query, ref-window) extension
+problems run as one dense program.  Layout: problems on the trailing
+(lane) axis, query positions on the sublane axis; the target-row loop is a
+`lax.fori_loop` whose body is a handful of VPU ops over a (Qmax, B) tile.
+
+Exactness vs the scalar kernel:
+  * The F (gap-in-query) recurrence F(j+1)=max(F(j)-e, max(M(j)-oe,0)) is
+    a running max: F(j) = cummax_k<j (u(k)+k*e) - (j-1)*e with
+    u=max(M-oe,0) — associative, so `lax.cummax` computes the row in
+    log-depth without the left-to-right dependency.
+  * The reference's adaptive beg/end shrink only skips cells that are
+    provably {h=0,e=0}; recomputing them yields the same zeros (the M-zero
+    quirk maps zero diagonals to zero scores), so a masked full-row
+    computation is bit-identical.
+  * The hard band (j in [i-w, i+w+1)) and the early z-drop/zero-row exits
+    become per-problem masks and `alive` freezing.
+
+Outputs match ksw_extend2's 6-tuple (score, qle, tle, gtle, gscore,
+max_off) element-for-element; tests/test_ops.py checks this against the
+scalar oracle over randomized problems.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MemOptions
+
+NEG_BIG = jnp.int32(-(1 << 30))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qmax", "tmax", "o_del", "e_del", "o_ins", "e_ins", "zdrop"),
+)
+def extend_batch_kernel(
+    qs: jnp.ndarray,        # (B, qmax) int8 query codes (0..4), padded
+    ts: jnp.ndarray,        # (B, tmax) int8 target codes
+    qlens: jnp.ndarray,     # (B,) int32
+    tlens: jnp.ndarray,     # (B,) int32
+    ws: jnp.ndarray,        # (B,) int32 band width (already min-clamped)
+    h0s: jnp.ndarray,       # (B,) int32 seed scores
+    mat: jnp.ndarray,       # (5, 5) int32 scoring matrix
+    qmax: int,
+    tmax: int,
+    o_del: int,
+    e_del: int,
+    o_ins: int,
+    e_ins: int,
+    zdrop: int,
+) -> Tuple[jnp.ndarray, ...]:
+    B = qs.shape[0]
+    oe_del = o_del + e_del
+    oe_ins = o_ins + e_ins
+    jidx = jnp.arange(qmax, dtype=jnp.int32)[:, None]          # (qmax, 1)
+    # per-problem query profile: qprof[j, b] = mat[t, q_b(j)] gathered per row
+    qsT = qs.T.astype(jnp.int32)                               # (qmax, B)
+    valid_q = jidx < qlens[None, :]                            # (qmax, B)
+
+    # initial previous-row H: H(-1, j) = max(h0 - oe_ins - j*e_ins, 0)
+    h0r = h0s[None, :].astype(jnp.int32)
+    Hprev = jnp.maximum(h0r - oe_ins - jidx * e_ins, 0)
+    Hprev = jnp.where(valid_q, Hprev, 0)
+    Eprev = jnp.zeros((qmax, B), jnp.int32)
+
+    state = dict(
+        H=Hprev,
+        E=Eprev,
+        alive=jnp.ones((B,), bool),
+        end=qlens.astype(jnp.int32),
+        maxv=h0s.astype(jnp.int32),
+        max_i=jnp.full((B,), -1, jnp.int32),
+        max_j=jnp.full((B,), -1, jnp.int32),
+        max_ie=jnp.full((B,), -1, jnp.int32),
+        gscore=jnp.full((B,), -1, jnp.int32),
+        max_off=jnp.zeros((B,), jnp.int32),
+    )
+
+    def body(i, st):
+        ii = jnp.int32(i)
+        row_live = st["alive"] & (ii < tlens)                   # (B,)
+        tcode = jnp.where(ii < tlens, ts[:, i], 4).astype(jnp.int32)  # (B,)
+        q_row = mat[tcode[None, :], qsT]                        # (qmax, B)
+        # adaptive end (ksw.c:417-418,468-469): the zero-tail scan shrinks
+        # the window and is observable through the j==qlen gscore update
+        end_used = jnp.minimum(jnp.minimum(st["end"], ii + ws + 1), qlens)  # (B,)
+        in_band = (
+            (jidx >= ii - ws[None, :])
+            & (jidx < end_used[None, :])
+            & valid_q
+        )
+        beg0 = ii - ws <= 0                                     # beg == 0 per problem
+        h1_init = jnp.where(
+            beg0, jnp.maximum(h0s - (o_del + e_del * (ii + 1)), 0), 0
+        ).astype(jnp.int32)
+        # H(i-1, -1): h0 for the first row (eh[0].h init, ksw.c:395),
+        # otherwise the previous row's first-column boundary
+        bound_prev = jnp.where(
+            ii == 0,
+            h0s,
+            jnp.where(
+                (ii - 1) - ws <= 0,
+                jnp.maximum(h0s - (o_del + e_del * ii), 0),
+                0,
+            ),
+        ).astype(jnp.int32)
+        Hdiag = jnp.concatenate([bound_prev[None, :], st["H"][:-1]], axis=0)
+        M = jnp.where(Hdiag != 0, Hdiag + q_row, 0)
+        u = jnp.maximum(M - oe_ins, 0)
+        v = u + jidx * e_ins
+        run = jax.lax.cummax(v, axis=0)
+        F = jnp.zeros((qmax, B), jnp.int32)
+        F = F.at[1:].set(jnp.maximum(run[:-1] - (jidx[1:] - 1) * e_ins, 0))
+        H = jnp.maximum(jnp.maximum(M, st["E"]), F)
+        H = jnp.where(in_band, H, 0)
+        Enew = jnp.maximum(st["E"] - e_del, jnp.maximum(M - oe_del, 0))
+        Enew = jnp.where(in_band, Enew, 0)
+
+        m = jnp.max(H, axis=0)                                  # (B,)
+        # mj: largest j attaining m (ties -> later j, ksw.c:437)
+        is_max = (H == m[None, :]) & in_band
+        mj = jnp.max(jnp.where(is_max, jidx, -1), axis=0)
+
+        # gscore: the window reached the end of the query this row
+        ends_q = (end_used == qlens) & (ii < tlens)
+        h_last = jnp.take_along_axis(H, (qlens - 1)[None, :], axis=0)[0]
+        # ksw.c:451-452: max_ie updates on ties (gscore > h1 keeps old)
+        upd_ie = ends_q & row_live & ~(st["gscore"] > h_last)
+        gscore = jnp.where(ends_q & row_live, jnp.maximum(st["gscore"], h_last), st["gscore"])
+        max_ie = jnp.where(upd_ie, ii, st["max_ie"])
+
+        # break conditions
+        zero_row = m == 0
+        improved = m > st["maxv"]
+        diag_i = ii - st["max_i"]
+        diag_j = mj - st["max_j"]
+        drop_del = st["maxv"] - m - (diag_i - diag_j) * e_del > zdrop
+        drop_ins = st["maxv"] - m - (diag_j - diag_i) * e_ins > zdrop
+        zdropped = jnp.where(diag_i > diag_j, drop_del, drop_ins) & (zdrop > 0)
+        die = row_live & (zero_row | ((~improved) & zdropped))
+
+        maxv = jnp.where(row_live & improved, m, st["maxv"])
+        max_i = jnp.where(row_live & improved, ii, st["max_i"])
+        max_j = jnp.where(row_live & improved, mj, st["max_j"])
+        off = jnp.abs(mj - ii)
+        max_off = jnp.where(
+            row_live & improved, jnp.maximum(st["max_off"], off), st["max_off"]
+        )
+
+        # adaptive end update (ksw.c:468-469): scan the shifted slot array
+        # (slot j holds H(i, j-1) and E(i+1, j)) for the last nonzero slot
+        slot_idx = jnp.arange(qmax + 1, dtype=jnp.int32)[:, None]
+        slot_h = jnp.concatenate([h1_init[None, :], H], axis=0)       # (qmax+1, B)
+        slot_e = jnp.concatenate([Enew, jnp.zeros((1, B), jnp.int32)], axis=0)
+        nonzero = ((slot_h != 0) | (slot_e != 0)) & (slot_idx <= end_used[None, :])
+        jstar = jnp.max(jnp.where(nonzero, slot_idx, -1), axis=0)
+        new_end = jnp.minimum(jstar + 2, qlens)
+        survive = row_live & ~die
+        end_next = jnp.where(survive, new_end, st["end"])
+
+        keep = row_live[None, :]
+        return dict(
+            H=jnp.where(keep, H, st["H"]),
+            E=jnp.where(keep, Enew, st["E"]),
+            alive=st["alive"] & ~die,
+            end=end_next,
+            maxv=maxv,
+            max_i=max_i,
+            max_j=max_j,
+            max_ie=max_ie,
+            gscore=gscore,
+            max_off=max_off,
+        )
+
+    st = jax.lax.fori_loop(0, tmax, body, state)
+    return (
+        st["maxv"],
+        st["max_j"] + 1,
+        st["max_i"] + 1,
+        st["max_ie"] + 1,
+        st["gscore"],
+        st["max_off"],
+    )
+
+
+def clamp_band(opt: MemOptions, qlen: int, w: int, end_bonus: int, max_mat: int) -> int:
+    """The per-problem w clamp at the top of ksw_extend2 (ksw.c:399-407)."""
+    max_ins = int((qlen * max_mat + end_bonus - opt.o_ins) / opt.e_ins + 1.0)
+    w = min(w, max(max_ins, 1))
+    max_del = int((qlen * max_mat + end_bonus - opt.o_del) / opt.e_del + 1.0)
+    return min(w, max(max_del, 1))
+
+
+class BatchExtender:
+    """Pads and dispatches extension problems to the device kernel.
+
+    Call ``submit`` repeatedly, then ``run`` to execute the whole batch;
+    results come back as ksw_extend2 6-tuples in submission order."""
+
+    def __init__(self, opt: MemOptions, qmax: int = 256, tmax: int = 512):
+        self.opt = opt
+        self.qmax = qmax
+        self.tmax = tmax
+        self.mat = jnp.asarray(opt.scoring_matrix(), jnp.int32)
+        self.max_mat = int(opt.scoring_matrix().max())
+        self.reset()
+
+    def reset(self):
+        self.queries = []
+        self.targets = []
+        self.ws = []
+        self.h0s = []
+
+    def submit(self, query: np.ndarray, target: np.ndarray, w: int, end_bonus: int, h0: int) -> int:
+        w = clamp_band(self.opt, len(query), w, end_bonus, self.max_mat)
+        self.queries.append(query)
+        self.targets.append(target)
+        self.ws.append(w)
+        self.h0s.append(h0)
+        return len(self.queries) - 1
+
+    def run(self):
+        B = len(self.queries)
+        if B == 0:
+            return []
+        qmax = max(self.qmax, max(len(q) for q in self.queries))
+        tmax = max(self.tmax, max(len(t) for t in self.targets))
+        qs = np.full((B, qmax), 4, np.int8)
+        ts = np.full((B, tmax), 4, np.int8)
+        qlens = np.zeros(B, np.int32)
+        tlens = np.zeros(B, np.int32)
+        for i, (q, t) in enumerate(zip(self.queries, self.targets)):
+            qs[i, : len(q)] = q
+            ts[i, : len(t)] = t
+            qlens[i] = len(q)
+            tlens[i] = len(t)
+        out = extend_batch_kernel(
+            jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
+            jnp.asarray(np.array(self.ws, np.int32)),
+            jnp.asarray(np.array(self.h0s, np.int32)),
+            self.mat, qmax, tmax,
+            self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
+            self.opt.zdrop,
+        )
+        arrs = [np.asarray(o) for o in out]
+        self.reset()
+        return [tuple(int(a[i]) for a in arrs) for i in range(B)]
