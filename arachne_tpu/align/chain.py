@@ -12,7 +12,7 @@ from __future__ import annotations
 import bisect
 import math
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -113,12 +113,20 @@ def _test_and_merge(opt: MemOptions, l_pac: int, c: Chain, s: Seed, seed_rid: in
     return False
 
 
-def mem_chain(idx: FMIndex, q: np.ndarray, opt: MemOptions) -> List[Chain]:
-    """mem_chain (bwamem.c:251-315): SMEMs -> chains of co-linear seeds."""
+def mem_chain(
+    idx: FMIndex,
+    q: np.ndarray,
+    opt: MemOptions,
+    mems: Optional[List[SMEM]] = None,
+) -> List[Chain]:
+    """mem_chain (bwamem.c:251-315): SMEMs -> chains of co-linear seeds.
+
+    ``mems`` may be precomputed (e.g. by the wave-batched collector)."""
     length = len(q)
     if length < opt.min_seed_len:
         return []
-    mems = collect_seeds(idx, q, opt)
+    if mems is None:
+        mems = collect_seeds(idx, q, opt)
 
     # frac_rep: fraction of the read covered by high-occ seeds (:265-272)
     l_rep = 0
@@ -137,15 +145,31 @@ def mem_chain(idx: FMIndex, q: np.ndarray, opt: MemOptions) -> List[Chain]:
     chains: List[Chain] = []      # kept sorted by pos
     positions: List[int] = []
     l_pac = idx.l_pac
+    # batch all SA lookups + rid checks across every occurrence up front
+    all_rows: List[np.ndarray] = []
+    occ_slices: List[Tuple[int, int]] = []
+    off = 0
     for p in mems:
-        slen = p.length
         step = p.s // opt.max_occ if p.s > opt.max_occ else 1
-        count = 0
-        k = 0
-        while k < p.s and count < opt.max_occ:
-            rbeg = int(idx.sa(np.array([p.k + k]))[0])
+        n_occ = min((p.s + step - 1) // step, opt.max_occ)
+        rows = p.k + np.arange(n_occ, dtype=np.int64) * step
+        all_rows.append(rows)
+        occ_slices.append((off, off + n_occ))
+        off += n_occ
+    if off:
+        flat_rows = np.concatenate(all_rows)
+        flat_rbegs = idx.sa(flat_rows)
+        lens = np.concatenate(
+            [np.full(b - a, m.length, np.int64) for (a, b), m in zip(occ_slices, mems)]
+        )
+        flat_rids = idx.intv2rid(flat_rbegs, flat_rbegs + lens)
+    for pi, p in enumerate(mems):
+        slen = p.length
+        a, b = occ_slices[pi]
+        for rbeg, rid in zip(flat_rbegs[a:b], flat_rids[a:b]):
+            rbeg = int(rbeg)
+            rid = int(rid)
             seed = Seed(rbeg=rbeg, qbeg=p.qb, len=slen, score=slen)
-            rid = int(idx.intv2rid(np.array([rbeg]), np.array([rbeg + slen]))[0])
             if rid >= 0:
                 to_add = True
                 if chains:
@@ -158,8 +182,6 @@ def mem_chain(idx: FMIndex, q: np.ndarray, opt: MemOptions) -> List[Chain]:
                     ins = bisect.bisect_left(positions, rbeg)
                     positions.insert(ins, rbeg)
                     chains.insert(ins, c)
-            k += step
-            count += 1
     fr = l_rep / length
     for c in chains:
         c.frac_rep = fr

@@ -98,10 +98,13 @@ def batch_align_single(
     if extender_batch is None:
         extender_batch = BatchExtender(opt)
 
+    from ..align.smem_batch import collect_seeds_batch
+
+    all_mems = collect_seeds_batch(idx, reads, opt)
     per_read_chains: List[List[Chain]] = []
     seed_probs: List[_SeedProblems] = []
-    for codes in reads:
-        chains = mem_chain(idx, codes, opt)
+    for codes, mems in zip(reads, all_mems):
+        chains = mem_chain(idx, codes, opt, mems=mems)
         chains = chain_filter(opt, chains)
         filter_chained_seeds(idx, codes, chains, opt)
         per_read_chains.append(chains)
