@@ -1,0 +1,186 @@
+"""Batched banded global alignment (CIGAR) on TPU.
+
+Batched reformulation of ksw_global2 (ksw.c:504-607): the DP runs on
+device with the direction bits written to a (tmax, qmax+1, B) uint8 tensor
+(full-width columns instead of the reference's band-packed z matrix — the
+band test happens at traceback time); the short backtrack walk runs on the
+host per problem.
+
+Direction byte layout matches the reference: bits 0-1 H-source
+(0=M, 1=E/del, 2=F/ins), bit 2 E-continuation, bit 5 F-continuation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..align.ksw import MINUS_INF, _push_cigar
+from ..config import MemOptions
+
+
+@functools.partial(
+    jax.jit, static_argnames=("qmax", "tmax", "o_del", "e_del", "o_ins", "e_ins")
+)
+def global_batch_kernel(
+    qs: jnp.ndarray,     # (B, qmax) int8
+    ts: jnp.ndarray,     # (B, tmax) int8
+    qlens: jnp.ndarray,  # (B,)
+    tlens: jnp.ndarray,  # (B,)
+    ws: jnp.ndarray,     # (B,) band width
+    mat: jnp.ndarray,
+    qmax: int,
+    tmax: int,
+    o_del: int,
+    e_del: int,
+    o_ins: int,
+    e_ins: int,
+):
+    B = qs.shape[0]
+    oe_del, oe_ins = o_del + e_del, o_ins + e_ins
+    NEG = jnp.int32(MINUS_INF)
+    jidx = jnp.arange(qmax, dtype=jnp.int32)[:, None]
+    qsT = qs.T.astype(jnp.int32)
+    valid_q = jidx < qlens[None, :]
+
+    # first row: H(-1, j) = -(o_ins + e_ins*(j+1)) within the band
+    Hprev = jnp.where(
+        (jidx + 1 <= ws[None, :]) & valid_q,
+        -(o_ins + e_ins * (jidx + 1)),
+        NEG,
+    )
+    Eprev = jnp.full((qmax, B), NEG, jnp.int32)
+
+    state = dict(
+        H=Hprev,
+        E=Eprev,
+        z=jnp.zeros((tmax, qmax, B), jnp.uint8),
+        score=jnp.full((B,), MINUS_INF, jnp.int32),
+    )
+
+    def body(i, st):
+        ii = jnp.int32(i)
+        row_live = ii < tlens
+        tcode = jnp.where(row_live, ts[:, i], 4).astype(jnp.int32)
+        q_row = mat[tcode[None, :], qsT]
+        in_band = (jidx >= ii - ws[None, :]) & (jidx < ii + ws[None, :] + 1) & valid_q
+        bound_prev = jnp.where(
+            ii == 0,
+            0,
+            jnp.where((ii - 1) <= ws, -(o_del + e_del * ii), NEG),
+        ).astype(jnp.int32)
+        Hdiag = jnp.concatenate([bound_prev[None, :], st["H"][:-1]], axis=0)
+        E = st["E"]
+        M = Hdiag + q_row
+        # F scan with -inf init: F(j) = max_k<j (M(k) - oe_ins - (j-1-k)e_ins)
+        v = (M - oe_ins) + jidx * e_ins
+        run = jax.lax.cummax(jnp.where(in_band, v, NEG), axis=0)
+        F = jnp.full((qmax, B), NEG, jnp.int32)
+        F = F.at[1:].set(run[:-1] - (jidx[1:] - 1) * e_ins)
+        d = jnp.where(M >= E, 0, 1).astype(jnp.uint8)
+        H = jnp.maximum(M, E)
+        d = jnp.where(H >= F, d, 2).astype(jnp.uint8)
+        H = jnp.maximum(H, F)
+        d = d | (((E - e_del) > (M - oe_del)).astype(jnp.uint8) << 2)
+        d = d | (((F - e_ins) > (M - oe_ins)).astype(jnp.uint8) << 5)
+        Enew = jnp.maximum(E - e_del, M - oe_del)
+        H = jnp.where(in_band, H, NEG)
+        Enew = jnp.where(in_band, Enew, NEG)
+        z = st["z"].at[i].set(jnp.where(in_band & row_live[None, :], d, 0))
+        # score: H at (tlen-1, qlen-1)
+        h_last = jnp.take_along_axis(H, (qlens - 1)[None, :], axis=0)[0]
+        score = jnp.where(ii == tlens - 1, h_last, st["score"])
+        keep = row_live[None, :]
+        return dict(
+            H=jnp.where(keep, H, st["H"]),
+            E=jnp.where(keep, Enew, st["E"]),
+            z=z,
+            score=score,
+        )
+
+    st = jax.lax.fori_loop(0, tmax, body, state)
+    return st["score"], st["z"]
+
+
+def traceback(
+    z: np.ndarray, qlen: int, tlen: int, w: int
+) -> List[Tuple[int, int]]:
+    """Backtrack (ksw.c:588-602) over the full-width direction matrix."""
+    cigar: List[Tuple[int, int]] = []
+    i = tlen - 1
+    k = min(i + w + 1, qlen) - 1
+    which = 0
+    while i >= 0 and k >= 0:
+        which = (int(z[i, k]) >> (which << 1)) & 3
+        if which == 0:
+            _push_cigar(cigar, 0, 1)
+            i -= 1
+            k -= 1
+        elif which == 1:
+            _push_cigar(cigar, 2, 1)
+            i -= 1
+        else:
+            _push_cigar(cigar, 1, 1)
+            k -= 1
+    if i >= 0:
+        _push_cigar(cigar, 2, i + 1)
+    if k >= 0:
+        _push_cigar(cigar, 1, k + 1)
+    cigar.reverse()
+    return cigar
+
+
+class BatchGlobal:
+    """Batched bwa-style global alignment returning (score, cigar)."""
+
+    def __init__(self, opt: MemOptions, qmax: int = 160, tmax: int = 320):
+        self.opt = opt
+        self.qmax = qmax
+        self.tmax = tmax
+        self.mat = jnp.asarray(opt.scoring_matrix(), jnp.int32)
+        self.reset()
+
+    def reset(self):
+        self.problems: List[Tuple[np.ndarray, np.ndarray, int]] = []
+
+    def submit(self, query: np.ndarray, target: np.ndarray, w: int) -> int:
+        self.problems.append((query, target, w))
+        return len(self.problems) - 1
+
+    def run(self, want_cigar: bool = True):
+        if not self.problems:
+            return []
+        B = len(self.problems)
+        qmax = max(self.qmax, max(len(q) for q, _, _ in self.problems))
+        tmax = max(self.tmax, max(len(t) for _, t, _ in self.problems))
+        qs = np.full((B, qmax), 4, np.int8)
+        ts = np.full((B, tmax), 4, np.int8)
+        qlens = np.zeros(B, np.int32)
+        tlens = np.zeros(B, np.int32)
+        ws = np.zeros(B, np.int32)
+        for i, (q, t, w) in enumerate(self.problems):
+            qs[i, : len(q)] = q
+            ts[i, : len(t)] = t
+            qlens[i] = len(q)
+            tlens[i] = len(t)
+            ws[i] = w
+        score, z = global_batch_kernel(
+            jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
+            jnp.asarray(ws), self.mat, qmax, tmax,
+            self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
+        )
+        score = np.asarray(score)
+        out = []
+        if want_cigar:
+            z = np.asarray(z)
+            for i, (q, t, w) in enumerate(self.problems):
+                cig = traceback(z[:, :, i], len(q), len(t), w)
+                out.append((int(score[i]), cig))
+        else:
+            out = [(int(score[i]), None) for i in range(B)]
+        self.reset()
+        return out

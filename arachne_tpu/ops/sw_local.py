@@ -1,0 +1,207 @@
+"""Batched local Smith-Waterman on TPU (mate-rescue kernel).
+
+Batched reformulation of ksw_u8/ksw_i16 (ksw.c:111-335) with the same
+shape strategy as sw_extend: problems on the lane axis, query on sublanes,
+a fori_loop over target rows whose body is a few VPU ops.
+
+The device computes per-row maxima and the best-row H vector; the
+reference's second-best bookkeeping (the merged-run "b array" feeding
+score2/te2) is reconstructed exactly on the host from the per-row maxima —
+it is a tiny O(tlen) pass per problem.
+
+``align2_batch`` adds ksw_align2's reverse second pass (ksw.c:343-365) to
+recover (qb, tb), again as a device batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..align.ksw import KswResult
+from ..config import MemOptions
+
+
+@functools.partial(
+    jax.jit, static_argnames=("qmax", "tmax", "o_del", "e_del", "o_ins", "e_ins")
+)
+def local_sw_batch_kernel(
+    qs: jnp.ndarray,      # (B, qmax) int8
+    ts: jnp.ndarray,      # (B, tmax) int8
+    qlens: jnp.ndarray,   # (B,)
+    tlens: jnp.ndarray,   # (B,)
+    endscs: jnp.ndarray,  # (B,) early-stop score (0x10000 = never)
+    mat: jnp.ndarray,
+    qmax: int,
+    tmax: int,
+    o_del: int,
+    e_del: int,
+    o_ins: int,
+    e_ins: int,
+):
+    B = qs.shape[0]
+    oe_del, oe_ins = o_del + e_del, o_ins + e_ins
+    jidx = jnp.arange(qmax, dtype=jnp.int32)[:, None]
+    qsT = qs.T.astype(jnp.int32)
+    valid_q = jidx < qlens[None, :]
+
+    state = dict(
+        H=jnp.zeros((qmax, B), jnp.int32),
+        E=jnp.zeros((qmax, B), jnp.int32),
+        Hmax=jnp.zeros((qmax, B), jnp.int32),
+        gmax=jnp.zeros((B,), jnp.int32),
+        te=jnp.full((B,), -1, jnp.int32),
+        alive=jnp.ones((B,), bool),
+        row_max=jnp.zeros((tmax, B), jnp.int32),
+    )
+
+    def body(i, st):
+        ii = jnp.int32(i)
+        row_live = st["alive"] & (ii < tlens)
+        tcode = jnp.where(ii < tlens, ts[:, i], 4).astype(jnp.int32)
+        q_row = mat[tcode[None, :], qsT]
+        Hdiag = jnp.concatenate(
+            [jnp.zeros((1, B), jnp.int32), st["H"][:-1]], axis=0
+        )
+        Hpre = jnp.maximum(jnp.maximum(Hdiag + q_row, 0), st["E"])
+        Hpre = jnp.where(valid_q, Hpre, 0)
+        # F scan: F(0)=0; F(j)=max(0, F(j-1)-e_ins, Hpre(j-1)-oe_ins)
+        v = (Hpre - oe_ins) + jidx * e_ins
+        run = jax.lax.cummax(v, axis=0)
+        F = jnp.zeros((qmax, B), jnp.int32)
+        F = F.at[1:].set(jnp.maximum(run[:-1] - (jidx[1:] - 1) * e_ins, 0))
+        H = jnp.maximum(Hpre, F)
+        H = jnp.where(valid_q, H, 0)
+        Enew = jnp.maximum(jnp.maximum(st["E"] - e_del, H - oe_del), 0)
+        Enew = jnp.where(valid_q, Enew, 0)
+        imax = jnp.max(H, axis=0)
+        improved = imax > st["gmax"]
+        upd = row_live & improved
+        gmax = jnp.where(upd, imax, st["gmax"])
+        te = jnp.where(upd, ii, st["te"])
+        Hmax = jnp.where(upd[None, :], H, st["Hmax"])
+        # early stop AFTER recording this row (ksw.c:205)
+        die = upd & (gmax >= endscs)
+        keep = row_live[None, :]
+        row_max = st["row_max"].at[i].set(jnp.where(row_live, imax, 0))
+        return dict(
+            H=jnp.where(keep, H, st["H"]),
+            E=jnp.where(keep, Enew, st["E"]),
+            Hmax=Hmax,
+            gmax=gmax,
+            te=te,
+            alive=st["alive"] & ~die,
+            row_max=row_max,
+        )
+
+    st = jax.lax.fori_loop(0, tmax, body, state)
+    # qe: smallest query index achieving the Hmax row's max
+    hm = st["Hmax"]
+    col_max = jnp.max(hm, axis=0)
+    big = jnp.int32(1 << 30)
+    qe = jnp.min(jnp.where(hm == col_max[None, :], jidx, big), axis=0)
+    qe = jnp.where(col_max > 0, qe, -1)
+    return st["gmax"], st["te"], qe, st["row_max"]
+
+
+def _score2_from_rowmax(
+    row_max: np.ndarray, tlen: int, score: int, te: int, minsc: int, max_mat: int
+) -> Tuple[int, int]:
+    """Reconstruct the merged-run b-array second-best (ksw.c:192-227)."""
+    # the C merge keys on the entry's *stored* row (the row of the last
+    # strict improvement): a row merges only if it directly follows it
+    b: List[Tuple[int, int]] = []
+    for i in range(tlen):
+        imax = int(row_max[i])
+        if imax >= minsc:
+            if not b or b[-1][1] + 1 != i:
+                b.append((imax, i))
+            elif b[-1][0] < imax:
+                b[-1] = (imax, i)
+    score2, te2 = -1, -1
+    if b:
+        rng = (score + max_mat - 1) // max_mat
+        low, high = te - rng, te + rng
+        for sc, e in b:
+            if (e < low or e > high) and sc > score2:
+                score2, te2 = sc, e
+    return score2, te2
+
+
+class BatchLocalSW:
+    """Batched ksw_align2: forward pass + reverse pass for coordinates."""
+
+    def __init__(self, opt: MemOptions, qmax: int = 160, tmax: int = 768):
+        self.opt = opt
+        self.qmax = qmax
+        self.tmax = tmax
+        self.mat = jnp.asarray(opt.scoring_matrix(), jnp.int32)
+        self.max_mat = int(opt.scoring_matrix().max())
+        self.reset()
+
+    def reset(self):
+        self.problems: List[Tuple[np.ndarray, np.ndarray, int]] = []
+
+    def submit(self, query: np.ndarray, target: np.ndarray, minsc: int) -> int:
+        self.problems.append((query, target, minsc))
+        return len(self.problems) - 1
+
+    def _run_kernel(self, qs_list, ts_list, endscs):
+        B = len(qs_list)
+        qmax = max(self.qmax, max((len(q) for q in qs_list), default=1))
+        tmax = max(self.tmax, max((len(t) for t in ts_list), default=1))
+        qs = np.full((B, qmax), 4, np.int8)
+        ts = np.full((B, tmax), 4, np.int8)
+        qlens = np.zeros(B, np.int32)
+        tlens = np.zeros(B, np.int32)
+        for i, (q, t) in enumerate(zip(qs_list, ts_list)):
+            qs[i, : len(q)] = q
+            ts[i, : len(t)] = t
+            qlens[i] = len(q)
+            tlens[i] = len(t)
+        out = local_sw_batch_kernel(
+            jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
+            jnp.asarray(np.asarray(endscs, np.int32)), self.mat, qmax, tmax,
+            self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
+        )
+        return [np.asarray(o) for o in out]
+
+    def run_align2(self) -> List[KswResult]:
+        """Full ksw_align2 semantics (XSUBO|XSTART) for all problems."""
+        if not self.problems:
+            return []
+        qs_list = [p[0] for p in self.problems]
+        ts_list = [p[1] for p in self.problems]
+        never = 0x10000
+        gmax, te, qe, row_max = self._run_kernel(
+            qs_list, ts_list, [never] * len(self.problems)
+        )
+        results = []
+        rev_q, rev_t, rev_stop, rev_ids = [], [], [], []
+        for i, (q, t, minsc) in enumerate(self.problems):
+            r = KswResult()
+            r.score = int(gmax[i])
+            r.te = int(te[i])
+            r.qe = int(qe[i])
+            r.score2, r.te2 = _score2_from_rowmax(
+                row_max[:, i], len(t), r.score, r.te, minsc, self.max_mat
+            )
+            results.append(r)
+            if r.score >= minsc and r.qe >= 0 and r.te >= 0:
+                rev_q.append(q[: r.qe + 1][::-1].copy())
+                rev_t.append(t[: r.te + 1][::-1].copy())
+                rev_stop.append(r.score)
+                rev_ids.append(i)
+        if rev_ids:
+            g2, t2, q2, _ = self._run_kernel(rev_q, rev_t, rev_stop)
+            for k, i in enumerate(rev_ids):
+                r = results[i]
+                if int(g2[k]) == r.score:
+                    r.tb = r.te - int(t2[k])
+                    r.qb = r.qe - int(q2[k])
+        self.reset()
+        return results

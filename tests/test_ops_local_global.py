@@ -1,0 +1,79 @@
+"""Parity tests: batched local SW and global kernels vs scalar oracles."""
+
+import numpy as np
+import pytest
+
+from arachne_tpu.align import ksw
+from arachne_tpu.config import MemOptions
+from arachne_tpu.ops.sw_global import BatchGlobal
+from arachne_tpu.ops.sw_local import BatchLocalSW
+
+OPT = MemOptions()
+MAT = OPT.scoring_matrix()
+
+
+class TestLocalBatch:
+    def test_align2_parity_random(self, rng):
+        b = BatchLocalSW(OPT, qmax=128, tmax=256)
+        probs = []
+        for _ in range(40):
+            tlen = int(rng.integers(60, 250))
+            t = rng.integers(0, 4, tlen).astype(np.uint8)
+            off = int(rng.integers(0, tlen - 50))
+            q = t[off : off + min(100, tlen - off)].copy()
+            for _ in range(int(rng.integers(0, 5))):
+                i = int(rng.integers(0, len(q)))
+                q[i] = (q[i] + 1) % 4
+            minsc = OPT.min_seed_len * OPT.a
+            probs.append((q, t, minsc))
+            b.submit(q, t, minsc)
+        got = b.run_align2()
+        for (q, t, minsc), r in zip(probs, got):
+            xtra = ksw.KSW_XSUBO | ksw.KSW_XSTART | minsc
+            e = ksw.align2(q, t, MAT, 6, 1, 6, 1, xtra)
+            assert (r.score, r.te, r.qe, r.score2, r.te2, r.tb, r.qb) == (
+                e.score, e.te, e.qe, e.score2, e.te2, e.tb, e.qb
+            ), (len(q), len(t))
+
+    def test_second_best_planted(self, rng):
+        t = rng.integers(0, 4, 400).astype(np.uint8)
+        t[300:330] = t[50:80]
+        q = t[50:80].copy()
+        b = BatchLocalSW(OPT)
+        b.submit(q, t, 19)
+        r = b.run_align2()[0]
+        e = ksw.align2(q, t, MAT, 6, 1, 6, 1, ksw.KSW_XSUBO | ksw.KSW_XSTART | 19)
+        assert (r.score, r.score2, r.te, r.te2) == (e.score, e.score2, e.te, e.te2)
+
+
+class TestGlobalBatch:
+    def test_parity_random(self, rng):
+        b = BatchGlobal(OPT, qmax=128, tmax=160)
+        probs = []
+        for _ in range(30):
+            tlen = int(rng.integers(30, 140))
+            t = rng.integers(0, 4, tlen).astype(np.uint8)
+            s = list(t)
+            for _ in range(int(rng.integers(0, 4))):
+                i = int(rng.integers(0, len(s)))
+                s[i] = (s[i] + 1) % 4
+            if rng.integers(0, 2):
+                s.insert(int(rng.integers(0, len(s))), int(rng.integers(0, 4)))
+            if rng.integers(0, 2):
+                del s[int(rng.integers(0, len(s) - 1))]
+            q = np.array(s, dtype=np.uint8)
+            w = int(rng.integers(5, 60))
+            probs.append((q, t, w))
+            b.submit(q, t, w)
+        got = b.run()
+        for (q, t, w), (score, cig) in zip(probs, got):
+            e_score, e_cig = ksw.global2(q, t, MAT, 6, 1, 6, 1, w)
+            assert score == e_score, (len(q), len(t), w)
+            assert cig == e_cig, (len(q), len(t), w)
+
+    def test_perfect_match(self, rng):
+        q = rng.integers(0, 4, 80).astype(np.uint8)
+        b = BatchGlobal(OPT)
+        b.submit(q, q, 50)
+        score, cig = b.run()[0]
+        assert score == 80 and cig == [(0, 80)]
