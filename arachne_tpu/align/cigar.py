@@ -31,31 +31,28 @@ def infer_bw(l1: int, l2: int, score: int, a: int, q: int, r: int) -> int:
     return max(w, abs(l1 - l2))
 
 
-def gen_cigar(
+def gen_cigar_prepare(
     idx: FMIndex,
     query: np.ndarray,
     rb: int,
     re: int,
     w: int,
     opt: MemOptions,
-    mat: Optional[np.ndarray] = None,
+    mat: np.ndarray,
     want_cigar: bool = True,
-) -> Tuple[int, Optional[List[Tuple[int, int]]], int, str]:
-    """bwa_gen_cigar2 (bwa.c:121-208): global alignment of query vs the
-    reference window [rb, re) on the fwd-rev coordinate.
+):
+    """First phase of bwa_gen_cigar2 (bwa.c:121-170): fetch/orient the
+    sequences, handle the no-gap shortcut, compute the effective band.
 
-    Returns (score, cigar, NM, MD).  For reverse-strand windows both
-    sequences are reversed before the DP so indels left-align, exactly as
-    the reference does."""
-    if mat is None:
-        mat = opt.scoring_matrix()
+    Returns ("fail",), ("done", q, rseq, score, cigar) for the shortcut, or
+    ("dp", q, rseq, w_eff) when a global DP is required."""
     l_pac = idx.l_pac
     l_query = len(query)
     if l_query <= 0 or rb >= re or (rb < l_pac and re > l_pac):
-        return 0, None, -1, ""
+        return ("fail",)
     rseq = idx.get_seq(rb, re)
     if len(rseq) != re - rb:
-        return 0, None, -1, ""
+        return ("fail",)
     q = query
     if rb >= l_pac:  # reverse both to left-align indels
         q = query[::-1].copy()
@@ -64,20 +61,30 @@ def gen_cigar(
     if l_query == re - rb and w == 0:  # no-gap shortcut
         cigar = [(OP_M, l_query)] if want_cigar else None
         score = int(mat[rseq, q].sum())
-    else:
-        max_ins = int(((l_query + 1) // 2 * mat[0, 0] - opt.o_ins) / opt.e_ins + 1.0)
-        max_del = int(((l_query + 1) // 2 * mat[0, 0] - opt.o_del) / opt.e_del + 1.0)
-        max_gap = max(max_ins, max_del, 1)
-        w2 = (max_gap + abs(rlen - l_query) + 1) >> 1
-        w2 = min(w2, w)
-        min_w = abs(rlen - l_query) + 3
-        w2 = max(w2, min_w)
-        score, cigar = ksw.global2(
-            q, rseq, mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, w2, want_cigar
-        )
+        return ("done", q, rseq, score, cigar)
+    max_ins = int(((l_query + 1) // 2 * mat[0, 0] - opt.o_ins) / opt.e_ins + 1.0)
+    max_del = int(((l_query + 1) // 2 * mat[0, 0] - opt.o_del) / opt.e_del + 1.0)
+    max_gap = max(max_ins, max_del, 1)
+    w2 = (max_gap + abs(rlen - l_query) + 1) >> 1
+    w2 = min(w2, w)
+    min_w = abs(rlen - l_query) + 3
+    w2 = max(w2, min_w)
+    return ("dp", q, rseq, w2)
+
+
+def gen_cigar_finish(
+    q: np.ndarray,
+    rseq: np.ndarray,
+    rb: int,
+    l_pac: int,
+    score: int,
+    cigar,
+    want_cigar: bool,
+) -> Tuple[int, Optional[List[Tuple[int, int]]], int, str]:
+    """Second phase of bwa_gen_cigar2 (bwa.c:172-202): NM and MD."""
     nm = -1
     md = ""
-    if want_cigar and cigar is not None:  # NM / MD (bwa.c:172-202)
+    if want_cigar and cigar is not None:
         n_mm = n_gap = 0
         parts: List[str] = []
         int2base = "ACGTN" if rb < l_pac else "TGCAN"
@@ -110,6 +117,42 @@ def gen_cigar(
         md = "".join(parts)
         nm = n_mm + n_gap
     return score, cigar, nm, md
+
+
+def gen_cigar(
+    idx: FMIndex,
+    query: np.ndarray,
+    rb: int,
+    re: int,
+    w: int,
+    opt: MemOptions,
+    mat: Optional[np.ndarray] = None,
+    want_cigar: bool = True,
+    global_fn=None,
+) -> Tuple[int, Optional[List[Tuple[int, int]]], int, str]:
+    """bwa_gen_cigar2 (bwa.c:121-208): global alignment of query vs the
+    reference window [rb, re) on the fwd-rev coordinate.
+
+    Returns (score, cigar, NM, MD).  For reverse-strand windows both
+    sequences are reversed before the DP so indels left-align, exactly as
+    the reference does.  ``global_fn(q, rseq, w) -> (score, cigar)`` may
+    replace the scalar DP (device batching)."""
+    if mat is None:
+        mat = opt.scoring_matrix()
+    prep = gen_cigar_prepare(idx, query, rb, re, w, opt, mat, want_cigar)
+    if prep[0] == "fail":
+        return 0, None, -1, ""
+    if prep[0] == "done":
+        _, q, rseq, score, cigar = prep
+    else:
+        _, q, rseq, w2 = prep
+        if global_fn is not None:
+            score, cigar = global_fn(q, rseq, w2)
+        else:
+            score, cigar = ksw.global2(
+                q, rseq, mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, w2, want_cigar
+            )
+    return gen_cigar_finish(q, rseq, rb, idx.l_pac, score, cigar, want_cigar)
 
 
 @dataclass

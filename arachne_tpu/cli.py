@@ -92,9 +92,9 @@ def run_align(args) -> None:
     stats = RunStats()
     engine = None
     if args.engine == "tpu":
-        from .ops.batch import make_tpu_extender
+        from .ops.engine import TpuEngine
 
-        engine = make_tpu_extender(cfg.mem)
+        engine = TpuEngine(idx, cfg)
     t0 = time.time()
     for records, unique in iter_barcode_sets(args.r1, args.r2):
         res = do_rfa_for_one_barcode(

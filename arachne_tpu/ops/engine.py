@@ -1,0 +1,307 @@
+"""TpuEngine: barcode-level batched candidate generation.
+
+Drop-in replacement for the scalar per-read path inside
+DoRFAForOneBarcode: all reads of a barcode run through device-batched
+seeding/extension (ops.batch), wave-batched mate rescue (ops.sw_local) and
+wave-batched CIGAR finalization (ops.sw_global).  Output is identical to
+the oracle engine — every sequential decision (rescue skip windows, dedup
+after each rescue, reg2aln's w2-doubling loop) is replayed on the host
+with device results in hand.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..align import ksw
+from ..align.cigar import (
+    MemAln,
+    OP_D,
+    OP_S,
+    approx_mapq_se,
+    gen_cigar_finish,
+    gen_cigar_prepare,
+    infer_bw,
+)
+from ..align.extend import AlnReg, sort_dedup_patch
+from ..align.pairing import infer_dir
+from ..align.pipeline import EasyAlignment, interpret_align, seq_to_codes
+from ..config import ArachneConfig, MemOptions
+from ..index.fmindex import FMIndex
+from .batch import batch_align_single
+from .sw_extend import BatchExtender
+from .sw_global import BatchGlobal
+from .sw_local import BatchLocalSW
+
+
+class TpuEngine:
+    """Batched device engine bound to one index + config."""
+
+    def __init__(self, idx: FMIndex, cfg: ArachneConfig):
+        self.idx = idx
+        self.cfg = cfg
+        self.opt = cfg.mem
+        self.mat = cfg.mem.scoring_matrix()
+        self.extender = BatchExtender(cfg.mem)
+        self.local = BatchLocalSW(cfg.mem)
+        self.global_ = BatchGlobal(cfg.mem)
+
+    # ------------------------------------------------------------------
+    # batched GoBwaMemMateSW over all pairs of a barcode
+    # ------------------------------------------------------------------
+
+    def align_pairs(
+        self, pairs: List[Tuple[np.ndarray, np.ndarray]]
+    ) -> List[Tuple[List[EasyAlignment], List[EasyAlignment]]]:
+        idx, opt, pes = self.idx, self.opt, self.cfg.pes
+        flat_reads: List[np.ndarray] = []
+        for r1, r2 in pairs:
+            flat_reads.append(r1)
+            flat_reads.append(r2)
+        regs_flat = batch_align_single(idx, opt, flat_reads, self.extender, self.mat)
+        regs1 = [regs_flat[2 * i] for i in range(len(pairs))]
+        regs2 = [regs_flat[2 * i + 1] for i in range(len(pairs))]
+        best1 = [max((r.score for r in rs), default=0) for rs in regs1]
+        best2 = [max((r.score for r in rs), default=0) for rs in regs2]
+        delta = self.cfg.rfa.chain_score_delta
+        # rescue read1 around read2's hits, then read2 around read1's
+        self._rescue_wave(pairs, regs2, regs1, best2, side=0, score_delta=delta)
+        self._rescue_wave(pairs, regs1, regs2, best1, side=1, score_delta=delta)
+        out = []
+        for i in range(len(pairs)):
+            out.append(
+                (
+                    [interpret_align(idx, r) for r in regs1[i]],
+                    [interpret_align(idx, r) for r in regs2[i]],
+                )
+            )
+        return out
+
+    def _rescue_wave(
+        self,
+        pairs,
+        anchor_regs: List[List[AlnReg]],
+        mate_regs: List[List[AlnReg]],
+        best_anchor: List[int],
+        side: int,
+        score_delta: int,
+    ) -> None:
+        """mem_matesw waves (bwamem_pair.c:111-180 + gobwa.go:286-324):
+        each pair advances one anchor per wave; SW problems batch."""
+        idx, opt, pes = self.idx, self.opt, self.cfg.pes
+        l_pac = idx.l_pac
+        anchors = [list(rs) for rs in anchor_regs]  # snapshot (pre-rescue list)
+        cursor = [0] * len(pairs)
+        num = [0] * len(pairs)
+        while True:
+            batch_jobs = []  # (pair_i, anchor, seq, rb_clamped, ref)
+            for pi in range(len(pairs)):
+                mate_seq = pairs[pi][side]
+                if mate_seq is None or len(mate_seq) == 0:
+                    continue
+                while cursor[pi] < len(anchors[pi]) and num[pi] < opt.max_matesw:
+                    a = anchors[pi][cursor[pi]]
+                    cursor[pi] += 1
+                    if a.score < best_anchor[pi] - score_delta:
+                        continue
+                    num[pi] += 1
+                    # one rescue attempt: FR orientation only
+                    job = self._prepare_matesw(a, mate_seq, mate_regs[pi])
+                    if job is not None:
+                        batch_jobs.append((pi, a, *job))
+                        break  # one attempt per wave per pair
+                    # skip[] all satisfied -> attempt costs nothing, continue
+            if not batch_jobs:
+                break
+            for pi, a, seq, rb, ref in batch_jobs:
+                self.local.submit(seq, ref, opt.min_seed_len * opt.a)
+            results = self.local.run_align2()
+            for (pi, a, seq, rb, ref), aln in zip(batch_jobs, results):
+                mate_seq = pairs[pi][side]
+                l_ms = len(mate_seq)
+                if aln.score >= opt.min_seed_len and aln.qb >= 0:
+                    b = AlnReg()
+                    b.rid = a.rid
+                    b.is_alt = a.is_alt
+                    # FR rescue is always is_rev=True (gobwa Pes model)
+                    b.qb = l_ms - (aln.qe + 1)
+                    b.qe = l_ms - aln.qb
+                    b.rb = (l_pac << 1) - (rb + aln.te + 1)
+                    b.re = (l_pac << 1) - (rb + aln.tb)
+                    b.score = aln.score
+                    b.csub = aln.score2
+                    b.secondary = -1
+                    b.seedcov = min(b.re - b.rb, b.qe - b.qb) >> 1
+                    regs = mate_regs[pi]
+                    ins = len(regs)
+                    for i in range(len(regs)):
+                        if regs[i].score < b.score:
+                            ins = i
+                            break
+                    regs.insert(ins, b)
+                # dedup after every attempt (mem_matesw tail)
+                deduped = list(sort_dedup_patch(opt, mate_regs[pi]))
+                mate_regs[pi].clear()
+                mate_regs[pi].extend(deduped)
+
+    def _prepare_matesw(
+        self, anchor: AlnReg, mate_seq: np.ndarray, mate_regs: List[AlnReg]
+    ):
+        """The skip/window logic of mem_matesw for the FR orientation.
+        Returns (rev_seq, rb, ref) or None if no SW is needed."""
+        idx, opt, pes = self.idx, self.opt, self.cfg.pes
+        l_pac = idx.l_pac
+        l_ms = len(mate_seq)
+        skip = False
+        for m in mate_regs:
+            r, dist = infer_dir(l_pac, anchor.rb, m.rb)
+            if r == 1 and pes.low <= dist <= pes.high:
+                skip = True
+        if skip:
+            return None
+        # FR: is_rev=True, is_larger=True
+        seq = np.array([3 - b if b < 4 else 4 for b in mate_seq[::-1]], dtype=np.uint8)
+        rb = (anchor.rb + pes.low) - l_ms
+        re = anchor.rb + pes.high
+        rb = max(rb, 0)
+        re = min(re, l_pac << 1)
+        if rb >= re:
+            return None
+        ref, rid, rb, re = idx.fetch_seq(rb, (rb + re) >> 1, re)
+        if anchor.rid != rid or re - rb < opt.min_seed_len:
+            return None
+        return (seq, rb, ref)
+
+    # ------------------------------------------------------------------
+    # batched mem_reg2aln over many hits
+    # ------------------------------------------------------------------
+
+    def reg2aln_batch(
+        self, jobs: List[Tuple[np.ndarray, Optional[AlnReg]]]
+    ) -> List[MemAln]:
+        """mem_reg2aln (bwamem.c:1086-1156) with the w2-doubling loop run
+        as waves of batched global alignments."""
+        idx, opt, mat = self.idx, self.opt, self.mat
+
+        class _Job:
+            __slots__ = (
+                "query", "ar", "a", "w2", "last_sc", "iter", "done",
+                "score", "cigar", "nm", "md", "prep",
+            )
+
+        out_jobs: List[Optional[object]] = []
+        active: List[object] = []
+        for query, ar in jobs:
+            if ar is None or ar.rb < 0 or ar.re < 0:
+                a = MemAln()
+                a.flag |= 0x4
+                j = _Job()
+                j.a = a
+                j.done = True
+                out_jobs.append(j)
+                continue
+            j = _Job()
+            j.query = query
+            j.ar = ar
+            a = MemAln()
+            a.mapq = approx_mapq_se(opt, ar) if ar.secondary < 0 else 0
+            if ar.secondary >= 0:
+                a.flag |= 0x100
+            j.a = a
+            w2 = max(
+                infer_bw(ar.qe - ar.qb, ar.re - ar.rb, ar.truesc, opt.a, opt.o_del, opt.e_del),
+                infer_bw(ar.qe - ar.qb, ar.re - ar.rb, ar.truesc, opt.a, opt.o_ins, opt.e_ins),
+            )
+            if w2 > opt.w:
+                w2 = min(w2, ar.w)
+            j.w2 = w2
+            j.last_sc = -(1 << 30)
+            j.iter = 0
+            j.done = False
+            out_jobs.append(j)
+            active.append(j)
+
+        while active:
+            dp_jobs = []
+            for j in active:
+                j.w2 = min(j.w2, opt.w * 4)
+                ar = j.ar
+                prep = gen_cigar_prepare(
+                    idx, j.query[ar.qb : ar.qe], ar.rb, ar.re, j.w2, opt, mat
+                )
+                j.prep = prep
+                if prep[0] == "fail":
+                    j.score, j.cigar, j.nm, j.md = 0, None, -1, ""
+                elif prep[0] == "done":
+                    _, q2, rs2, sc, cig = prep
+                    j.score, j.cigar, j.nm, j.md = gen_cigar_finish(
+                        q2, rs2, ar.rb, idx.l_pac, sc, cig, True
+                    )
+                else:
+                    dp_jobs.append(j)
+            if dp_jobs:
+                for j in dp_jobs:
+                    _, q2, rs2, w_eff = j.prep
+                    self.global_.submit(q2, rs2, w_eff)
+                results = self.global_.run()
+                for j, (sc, cig) in zip(dp_jobs, results):
+                    _, q2, rs2, w_eff = j.prep
+                    j.score, j.cigar, j.nm, j.md = gen_cigar_finish(
+                        q2, rs2, j.ar.rb, idx.l_pac, sc, cig, True
+                    )
+            next_active = []
+            for j in active:
+                if j.score == j.last_sc or j.w2 == opt.w * 4:
+                    j.done = True
+                else:
+                    j.last_sc = j.score
+                    j.w2 <<= 1
+                    j.iter += 1
+                    if j.iter < 3 and j.score < j.ar.truesc - opt.a:
+                        next_active.append(j)
+                    else:
+                        j.done = True
+            active = next_active
+
+        # host finalization (bwa-side of mem_reg2aln)
+        results: List[MemAln] = []
+        for j in out_jobs:
+            a = j.a
+            if a.flag & 0x4:
+                results.append(a)
+                continue
+            ar = j.ar
+            query = j.query
+            l_query = len(query)
+            a.NM = j.nm
+            a.MD = j.md
+            cigar = list(j.cigar) if j.cigar else []
+            fpos, is_rev = idx.depos(
+                np.array([ar.rb if ar.rb < idx.l_pac else ar.re - 1])
+            )
+            pos = int(fpos[0])
+            a.is_rev = bool(is_rev[0])
+            if cigar:
+                if cigar[0][0] == OP_D:
+                    pos += cigar[0][1]
+                    cigar = cigar[1:]
+                elif cigar[-1][0] == OP_D:
+                    cigar = cigar[:-1]
+            if ar.qb != 0 or ar.qe != l_query:
+                clip5 = l_query - ar.qe if a.is_rev else ar.qb
+                clip3 = ar.qb if a.is_rev else l_query - ar.qe
+                if clip5:
+                    cigar = [(OP_S, clip5)] + cigar
+                if clip3:
+                    cigar = cigar + [(OP_S, clip3)]
+            a.cigar = cigar
+            a.rid = int(idx.pos2rid(np.array([pos]))[0])
+            a.pos = pos - idx.packed.anns[a.rid].offset
+            a.score = ar.score
+            a.sub = max(ar.sub, ar.csub)
+            a.is_alt = ar.is_alt
+            a.alt_sc = ar.alt_sc
+            results.append(a)
+        return results

@@ -62,19 +62,32 @@ def get_chains(
     cfg: ArachneConfig,
     reads: List[FastQRecordView],
     extender=None,
+    engine=None,
 ) -> Tuple[List[List[ChainedHit]], str]:
-    """GetChains (aligner.go:1633-1715)."""
+    """GetChains (aligner.go:1633-1715).
+
+    With ``engine`` (a TpuEngine) all pairs of the barcode run through the
+    batched device path; otherwise the scalar per-pair path is used."""
     out: List[List[ChainedHit]] = []
     hit_num = 0
     barcode = ""
     mat = cfg.mem.scoring_matrix()
+    pair_results = None
+    if engine is not None:
+        pairs = [
+            (seq_to_codes(rec.read1), seq_to_codes(rec.read2)) for rec in reads
+        ]
+        pair_results = engine.align_pairs(pairs)
     for i, rec in enumerate(reads):
-        codes1 = seq_to_codes(rec.read1)
-        codes2 = seq_to_codes(rec.read2)
-        a1, a2 = align_pair_with_rescue(
-            idx, cfg.mem, cfg.pes, codes1, codes2,
-            score_delta=cfg.rfa.chain_score_delta, extender=extender, mat=mat,
-        )
+        if pair_results is not None:
+            a1, a2 = pair_results[i]
+        else:
+            codes1 = seq_to_codes(rec.read1)
+            codes2 = seq_to_codes(rec.read2)
+            a1, a2 = align_pair_with_rescue(
+                idx, cfg.mem, cfg.pes, codes1, codes2,
+                score_delta=cfg.rfa.chain_score_delta, extender=extender, mat=mat,
+            )
         barcode = rec.barcode.decode() if isinstance(rec.barcode, bytes) else rec.barcode
         lst1: List[ChainedHit] = []
         for ea in a1:
@@ -124,6 +137,7 @@ def get_alignments(
     idx: FMIndex,
     cfg: ArachneConfig,
     barcode_chains: List[List[ChainedHit]],
+    engine=None,
 ) -> Tuple[List[List[Alignment]], List[List[Alignment]]]:
     """GetAlignments (aligner.go:1484-1631); delta = best-17 filter."""
     delta = cfg.rfa.alignment_score_delta
@@ -132,6 +146,16 @@ def get_alignments(
     n = len(barcode_chains)
     filtered: List[List[Alignment]] = [[] for _ in range(n)]
     full: List[List[Alignment]] = [[] for _ in range(n)]
+    mem_cache = None
+    if engine is not None:
+        jobs = []
+        keys = []
+        for i in range(n):
+            for ch in barcode_chains[i]:
+                if ch.easy is not None:
+                    jobs.append((seq_to_codes(ch.read), ch.easy.reg))
+                    keys.append(id(ch))
+        mem_cache = dict(zip(keys, engine.reg2aln_batch(jobs)))
     for i in range(n):
         best_score = 0
         for ch in barcode_chains[i]:
@@ -140,7 +164,10 @@ def get_alignments(
         for ch in barcode_chains[i]:
             if ch.easy is not None:
                 codes = seq_to_codes(ch.read)
-                mem = reg2aln(idx, cfg.mem, codes, ch.easy.reg, mat)
+                if mem_cache is not None:
+                    mem = mem_cache[id(ch)]
+                else:
+                    mem = reg2aln(idx, cfg.mem, codes, ch.easy.reg, mat)
                 chrom = idx.packed.anns[mem.rid].name if mem.rid >= 0 else ""
                 rev = mem.is_rev
                 flat_cigar: List[int] = []

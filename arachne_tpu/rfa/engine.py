@@ -72,8 +72,14 @@ def do_rfa_for_one_barcode(
     centromeres = centromeres or {}
     improper = cfg.rfa.improper_pair_penalty
     run_rfa = worth_running_rfa(reads, unique_barcode, cfg)
-    barcode_chains, barcode = get_chains(idx, cfg, reads, extender=extender)
-    alignments, stashed = get_alignments(idx, cfg, barcode_chains)
+    engine = None
+    if extender is not None and hasattr(extender, "align_pairs"):
+        engine = extender  # a TpuEngine: full batched path
+        extender = None
+    barcode_chains, barcode = get_chains(
+        idx, cfg, reads, extender=extender, engine=engine
+    )
+    alignments, stashed = get_alignments(idx, cfg, barcode_chains, engine=engine)
     positions = tag_best_alignments(alignments, improper)
 
     if not run_rfa:

@@ -1,0 +1,140 @@
+"""The batched TPU engine must produce identical barcode results to the
+scalar oracle engine across the full DoRFAForOneBarcode workflow."""
+
+import numpy as np
+import pytest
+
+from arachne_tpu.config import ArachneConfig
+from arachne_tpu.index import FMIndex, build_fmindex, pack_reference, unpack_2bit
+from arachne_tpu.ops.engine import TpuEngine
+from arachne_tpu.rfa import FastQRecordView, do_rfa_for_one_barcode
+
+CFG = ArachneConfig()
+BASES = np.array(list("ACGT"))
+
+
+def to_str(codes):
+    return "".join(BASES[codes])
+
+
+@pytest.fixture(scope="module")
+def genome(small_reference):
+    packed = pack_reference(small_reference)
+    fm = build_fmindex(packed)
+    idx = FMIndex(packed, fm)
+    fwd = unpack_2bit(packed.pac, 0, packed.l_pac)
+    return idx, fwd
+
+
+def make_reads(fwd, rng, n_pairs=8, with_mutations=True):
+    recs = []
+    for i in range(n_pairs):
+        pos = int(rng.integers(0, len(fwd) - 320))
+        frag = fwd[pos : pos + 300]
+        r1 = frag[:100].copy()
+        r2 = (3 - frag[200:300][::-1]).astype(np.uint8)
+        if with_mutations and rng.integers(0, 2):
+            for _ in range(int(rng.integers(1, 4))):
+                j = int(rng.integers(0, 100))
+                r1[j] = (r1[j] + 1) % 4
+        recs.append(
+            FastQRecordView(
+                read1=to_str(r1).encode(),
+                qual1=b"I" * 100,
+                read2=to_str(r2).encode(),
+                qual2=b"I" * 100,
+                barcode=b"A01C02B03D04",
+                valid=True,
+                read_info=f"pair{i}",
+                read_group="",
+            )
+        )
+    return recs
+
+
+def snapshot(res):
+    out = []
+    for alist in res.alignments:
+        row = []
+        for a in alist:
+            row.append(
+                (
+                    a.contig, a.pos, a.aend, a.score, a.mapq, a.reversed_,
+                    a.active, a.is_proper, a.duplicate, tuple(a.cigar),
+                    a.mismatches, a.matches, a.indels, a.soft_clipped,
+                    tuple(a.mismatch_locs), round(a.log_alignment_probability, 9),
+                    a.molecule_id, a.active_molecule,
+                )
+            )
+        out.append(row)
+    return out
+
+
+class TestEngineEquivalence:
+    def test_rfa_barcode_identical(self, genome):
+        idx, fwd = genome
+        rng = np.random.default_rng(11)
+        recs = make_reads(fwd, rng, n_pairs=8)
+        res_oracle = do_rfa_for_one_barcode(idx, CFG, recs, unique_barcode=True)
+        engine = TpuEngine(idx, CFG)
+        res_tpu = do_rfa_for_one_barcode(
+            idx, CFG, recs, unique_barcode=True, extender=engine
+        )
+        assert res_oracle.ran_rfa and res_tpu.ran_rfa
+        assert snapshot(res_oracle) == snapshot(res_tpu)
+
+    def test_non_rfa_barcode_identical(self, genome):
+        idx, fwd = genome
+        rng = np.random.default_rng(5)
+        recs = make_reads(fwd, rng, n_pairs=2)
+        res_oracle = do_rfa_for_one_barcode(idx, CFG, recs, unique_barcode=True)
+        engine = TpuEngine(idx, CFG)
+        res_tpu = do_rfa_for_one_barcode(
+            idx, CFG, recs, unique_barcode=True, extender=engine
+        )
+        assert snapshot(res_oracle) == snapshot(res_tpu)
+
+    def test_repeat_heavy_barcode_identical(self, genome):
+        """Reads inside the planted repeat exercise multi-hit + rescue."""
+        idx, fwd = genome
+        rng = np.random.default_rng(21)
+        recs = []
+        for i, pos in enumerate([350, 420, 480, 540, 600, 1250]):
+            frag = fwd[pos : pos + 260]
+            r1 = frag[:90].copy()
+            r2 = (3 - frag[170:260][::-1]).astype(np.uint8)
+            recs.append(
+                FastQRecordView(
+                    read1=to_str(r1).encode(), qual1=b"I" * 90,
+                    read2=to_str(r2).encode(), qual2=b"I" * 90,
+                    barcode=b"A09C08B07D06", valid=True,
+                    read_info=f"rep{i}", read_group="",
+                )
+            )
+        res_oracle = do_rfa_for_one_barcode(idx, CFG, recs, unique_barcode=True)
+        engine = TpuEngine(idx, CFG)
+        res_tpu = do_rfa_for_one_barcode(
+            idx, CFG, recs, unique_barcode=True, extender=engine
+        )
+        assert snapshot(res_oracle) == snapshot(res_tpu)
+
+    def test_mutated_mate_rescue_identical(self, genome):
+        idx, fwd = genome
+        rng = np.random.default_rng(7)
+        recs = make_reads(fwd, rng, n_pairs=5, with_mutations=False)
+        # wreck one R2's seeds so it needs rescue
+        r2 = np.frombuffer(recs[2].read2, dtype=np.uint8).copy()
+        for i in range(0, len(r2), 12):
+            r2[i : i + 1] = ord("A") if r2[i] != ord("A") else ord("C")
+        recs[2] = FastQRecordView(
+            read1=recs[2].read1, qual1=recs[2].qual1,
+            read2=r2.tobytes(), qual2=recs[2].qual2,
+            barcode=recs[2].barcode, valid=True,
+            read_info=recs[2].read_info, read_group="",
+        )
+        res_oracle = do_rfa_for_one_barcode(idx, CFG, recs, unique_barcode=True)
+        engine = TpuEngine(idx, CFG)
+        res_tpu = do_rfa_for_one_barcode(
+            idx, CFG, recs, unique_barcode=True, extender=engine
+        )
+        assert snapshot(res_oracle) == snapshot(res_tpu)
