@@ -191,6 +191,15 @@ def extend_batch_kernel(
     )
 
 
+def pad_batch(B: int, minimum: int = 64) -> int:
+    """Round the batch size up to a power-of-two bucket (>= minimum) so the
+    jit cache sees a small, fixed set of shapes."""
+    n = minimum
+    while n < B:
+        n <<= 1
+    return n
+
+
 def clamp_band(opt: MemOptions, qlen: int, w: int, end_bonus: int, max_mat: int) -> int:
     """The per-problem w clamp at the top of ksw_extend2 (ksw.c:399-407)."""
     max_ins = int((qlen * max_mat + end_bonus - opt.o_ins) / opt.e_ins + 1.0)
@@ -231,12 +240,18 @@ class BatchExtender:
         B = len(self.queries)
         if B == 0:
             return []
-        qmax = max(self.qmax, max(len(q) for q in self.queries))
-        tmax = max(self.tmax, max(len(t) for t in self.targets))
-        qs = np.full((B, qmax), 4, np.int8)
-        ts = np.full((B, tmax), 4, np.int8)
-        qlens = np.zeros(B, np.int32)
-        tlens = np.zeros(B, np.int32)
+        # bucket padded shapes to multiples of 64 so jit caches stay warm
+        qmax = max(self.qmax, -(-max(len(q) for q in self.queries) // 64) * 64)
+        tmax = max(self.tmax, -(-max(len(t) for t in self.targets) // 64) * 64)
+        Bp = pad_batch(B)
+        qs = np.full((Bp, qmax), 4, np.int8)
+        ts = np.full((Bp, tmax), 4, np.int8)
+        qlens = np.ones(Bp, np.int32)
+        tlens = np.zeros(Bp, np.int32)
+        ws = np.ones(Bp, np.int32)
+        h0s = np.ones(Bp, np.int32)
+        ws[:B] = np.array(self.ws, np.int32)
+        h0s[:B] = np.array(self.h0s, np.int32)
         for i, (q, t) in enumerate(zip(self.queries, self.targets)):
             qs[i, : len(q)] = q
             ts[i, : len(t)] = t
@@ -244,8 +259,7 @@ class BatchExtender:
             tlens[i] = len(t)
         out = extend_batch_kernel(
             jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
-            jnp.asarray(np.array(self.ws, np.int32)),
-            jnp.asarray(np.array(self.h0s, np.int32)),
+            jnp.asarray(ws), jnp.asarray(h0s),
             self.mat, qmax, tmax,
             self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
             self.opt.zdrop,

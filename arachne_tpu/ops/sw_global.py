@@ -154,14 +154,17 @@ class BatchGlobal:
     def run(self, want_cigar: bool = True):
         if not self.problems:
             return []
+        from .sw_extend import pad_batch
+
         B = len(self.problems)
-        qmax = max(self.qmax, max(len(q) for q, _, _ in self.problems))
-        tmax = max(self.tmax, max(len(t) for _, t, _ in self.problems))
-        qs = np.full((B, qmax), 4, np.int8)
-        ts = np.full((B, tmax), 4, np.int8)
-        qlens = np.zeros(B, np.int32)
-        tlens = np.zeros(B, np.int32)
-        ws = np.zeros(B, np.int32)
+        qmax = max(self.qmax, -(-max(len(q) for q, _, _ in self.problems) // 64) * 64)
+        tmax = max(self.tmax, -(-max(len(t) for _, t, _ in self.problems) // 64) * 64)
+        Bp = pad_batch(B, 32)
+        qs = np.full((Bp, qmax), 4, np.int8)
+        ts = np.full((Bp, tmax), 4, np.int8)
+        qlens = np.ones(Bp, np.int32)
+        tlens = np.ones(Bp, np.int32)
+        ws = np.ones(Bp, np.int32)
         for i, (q, t, w) in enumerate(self.problems):
             qs[i, : len(q)] = q
             ts[i, : len(t)] = t

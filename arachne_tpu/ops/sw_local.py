@@ -152,12 +152,17 @@ class BatchLocalSW:
 
     def _run_kernel(self, qs_list, ts_list, endscs):
         B = len(qs_list)
-        qmax = max(self.qmax, max((len(q) for q in qs_list), default=1))
-        tmax = max(self.tmax, max((len(t) for t in ts_list), default=1))
-        qs = np.full((B, qmax), 4, np.int8)
-        ts = np.full((B, tmax), 4, np.int8)
-        qlens = np.zeros(B, np.int32)
-        tlens = np.zeros(B, np.int32)
+        from .sw_extend import pad_batch
+
+        qmax = max(self.qmax, -(-max((len(q) for q in qs_list), default=1) // 64) * 64)
+        tmax = max(self.tmax, -(-max((len(t) for t in ts_list), default=1) // 64) * 64)
+        Bp = pad_batch(B, 32)
+        qs = np.full((Bp, qmax), 4, np.int8)
+        ts = np.full((Bp, tmax), 4, np.int8)
+        qlens = np.ones(Bp, np.int32)
+        tlens = np.zeros(Bp, np.int32)
+        ends = np.full(Bp, 0x10000, np.int32)
+        ends[:B] = np.asarray(endscs, np.int32)
         for i, (q, t) in enumerate(zip(qs_list, ts_list)):
             qs[i, : len(q)] = q
             ts[i, : len(t)] = t
@@ -165,7 +170,7 @@ class BatchLocalSW:
             tlens[i] = len(t)
         out = local_sw_batch_kernel(
             jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
-            jnp.asarray(np.asarray(endscs, np.int32)), self.mat, qmax, tmax,
+            jnp.asarray(ends), self.mat, qmax, tmax,
             self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
         )
         return [np.asarray(o) for o in out]
