@@ -96,17 +96,43 @@ def run_align(args) -> None:
 
         engine = TpuEngine(idx, cfg)
     t0 = time.time()
-    for records, unique in iter_barcode_sets(args.r1, args.r2):
-        res = do_rfa_for_one_barcode(
-            idx, cfg, records, unique, centromeres, extender=engine
-        )
+
+    def emit(res, n_records, unique):
         bams.dump(res.alignments, res.attach_bx)
         stats.note_barcode(res)
-        if len(records) > 2:
+        if n_records > 2:
             print(
-                f"working on barcode {res.barcode}  num reads: {len(records)}  "
+                f"working on barcode {res.barcode}  num reads: {n_records}  "
                 f"doing RFA: {res.ran_rfa}  unique_barcode {unique}"
             )
+
+    if engine is not None:
+        # superbatch: amortize device round trips across many barcodes
+        from .rfa.engine import process_barcodes
+
+        pending = []
+        pending_pairs = 0
+        for records, unique in iter_barcode_sets(args.r1, args.r2):
+            pending.append((records, unique))
+            pending_pairs += len(records)
+            if pending_pairs >= cfg.pipeline.reads_per_batch:
+                for res, (recs, uniq) in zip(
+                    process_barcodes(idx, cfg, pending, engine, centromeres), pending
+                ):
+                    emit(res, len(recs), uniq)
+                pending = []
+                pending_pairs = 0
+        if pending:
+            for res, (recs, uniq) in zip(
+                process_barcodes(idx, cfg, pending, engine, centromeres), pending
+            ):
+                emit(res, len(recs), uniq)
+    else:
+        for records, unique in iter_barcode_sets(args.r1, args.r2):
+            res = do_rfa_for_one_barcode(
+                idx, cfg, records, unique, centromeres, extender=None
+            )
+            emit(res, len(records), unique)
     bams.close()
     dt = time.time() - t0
     stats.finish(dt)

@@ -63,17 +63,19 @@ def get_chains(
     reads: List[FastQRecordView],
     extender=None,
     engine=None,
+    pair_results=None,
 ) -> Tuple[List[List[ChainedHit]], str]:
     """GetChains (aligner.go:1633-1715).
 
     With ``engine`` (a TpuEngine) all pairs of the barcode run through the
-    batched device path; otherwise the scalar per-pair path is used."""
+    batched device path; ``pair_results`` may carry results precomputed
+    across several barcodes (the superbatch scheduler); otherwise the
+    scalar per-pair path is used."""
     out: List[List[ChainedHit]] = []
     hit_num = 0
     barcode = ""
     mat = cfg.mem.scoring_matrix()
-    pair_results = None
-    if engine is not None:
+    if pair_results is None and engine is not None:
         pairs = [
             (seq_to_codes(rec.read1), seq_to_codes(rec.read2)) for rec in reads
         ]
@@ -138,6 +140,7 @@ def get_alignments(
     cfg: ArachneConfig,
     barcode_chains: List[List[ChainedHit]],
     engine=None,
+    mem_cache=None,
 ) -> Tuple[List[List[Alignment]], List[List[Alignment]]]:
     """GetAlignments (aligner.go:1484-1631); delta = best-17 filter."""
     delta = cfg.rfa.alignment_score_delta
@@ -146,8 +149,7 @@ def get_alignments(
     n = len(barcode_chains)
     filtered: List[List[Alignment]] = [[] for _ in range(n)]
     full: List[List[Alignment]] = [[] for _ in range(n)]
-    mem_cache = None
-    if engine is not None:
+    if mem_cache is None and engine is not None:
         jobs = []
         keys = []
         for i in range(n):

@@ -69,9 +69,6 @@ def do_rfa_for_one_barcode(
     extender=None,
 ) -> BarcodeResult:
     """DoRFAForOneBarcode (aligner.go:440-501)."""
-    centromeres = centromeres or {}
-    improper = cfg.rfa.improper_pair_penalty
-    run_rfa = worth_running_rfa(reads, unique_barcode, cfg)
     engine = None
     if extender is not None and hasattr(extender, "align_pairs"):
         engine = extender  # a TpuEngine: full batched path
@@ -80,6 +77,25 @@ def do_rfa_for_one_barcode(
         idx, cfg, reads, extender=extender, engine=engine
     )
     alignments, stashed = get_alignments(idx, cfg, barcode_chains, engine=engine)
+    return _finish_barcode(
+        idx, cfg, reads, unique_barcode, alignments, stashed, barcode, centromeres
+    )
+
+
+def _finish_barcode(
+    idx: FMIndex,
+    cfg: ArachneConfig,
+    reads: List[FastQRecordView],
+    unique_barcode: bool,
+    alignments,
+    stashed,
+    barcode: str,
+    centromeres: Optional[Dict[str, Region]] = None,
+) -> BarcodeResult:
+    """The RFA/MAPQ/dup/split tail of DoRFAForOneBarcode."""
+    centromeres = centromeres or {}
+    improper = cfg.rfa.improper_pair_penalty
+    run_rfa = worth_running_rfa(reads, unique_barcode, cfg)
     positions = tag_best_alignments(alignments, improper)
 
     if not run_rfa:
@@ -126,3 +142,55 @@ def do_rfa_for_one_barcode(
         ran_rfa=True,
         n_molecules=len(molecules),
     )
+
+
+def process_barcodes(
+    idx: FMIndex,
+    cfg: ArachneConfig,
+    barcode_sets: List[Tuple[List[FastQRecordView], bool]],
+    engine,
+    centromeres: Optional[Dict[str, Region]] = None,
+) -> List[BarcodeResult]:
+    """Superbatch scheduler: run the device phases for MANY barcodes at
+    once (one set of extension/rescue/CIGAR batches), then finish each
+    barcode's RFA on the host.  Amortizes device round trips across
+    barcodes; per-barcode output is identical to do_rfa_for_one_barcode.
+    """
+    from ..align.pipeline import seq_to_codes
+
+    all_pairs = []
+    spans = []
+    for reads, _ in barcode_sets:
+        start = len(all_pairs)
+        for rec in reads:
+            all_pairs.append((seq_to_codes(rec.read1), seq_to_codes(rec.read2)))
+        spans.append((start, len(all_pairs)))
+    pair_results = engine.align_pairs(all_pairs) if all_pairs else []
+
+    chain_sets = []
+    for (reads, unique), (a, b) in zip(barcode_sets, spans):
+        chains, bc = get_chains(idx, cfg, reads, pair_results=pair_results[a:b])
+        chain_sets.append((chains, bc))
+
+    # one reg2aln batch across every hit of every barcode
+    jobs = []
+    keys = []
+    for chains, _ in chain_sets:
+        for lst in chains:
+            for ch in lst:
+                if ch.easy is not None:
+                    jobs.append((seq_to_codes(ch.read), ch.easy.reg))
+                    keys.append(id(ch))
+    mem_cache = dict(zip(keys, engine.reg2aln_batch(jobs))) if jobs else {}
+
+    results = []
+    for (reads, unique), (chains, bc) in zip(barcode_sets, chain_sets):
+        alignments, stashed = get_alignments(
+            idx, cfg, chains, mem_cache=mem_cache
+        )
+        results.append(
+            _finish_barcode(
+                idx, cfg, reads, unique, alignments, stashed, bc, centromeres
+            )
+        )
+    return results

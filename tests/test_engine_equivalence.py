@@ -138,3 +138,28 @@ class TestEngineEquivalence:
             idx, CFG, recs, unique_barcode=True, extender=engine
         )
         assert snapshot(res_oracle) == snapshot(res_tpu)
+
+
+class TestSuperbatch:
+    def test_process_barcodes_identical(self, genome):
+        from arachne_tpu.rfa.engine import process_barcodes
+
+        idx, fwd = genome
+        rng = np.random.default_rng(33)
+        sets = []
+        for bi in range(4):
+            n = int(rng.integers(2, 9))
+            recs = make_reads(fwd, rng, n_pairs=n)
+            for r in recs:
+                r.barcode = f"B{bi:02d}".encode()
+                r.read_info = f"b{bi}_{r.read_info}"
+            sets.append((recs, True))
+        singles = [
+            do_rfa_for_one_barcode(idx, CFG, recs, uniq) for recs, uniq in sets
+        ]
+        engine = TpuEngine(idx, CFG)
+        batched = process_barcodes(idx, CFG, sets, engine)
+        assert len(batched) == len(singles)
+        for a, b in zip(singles, batched):
+            assert a.ran_rfa == b.ran_rfa
+            assert snapshot(a) == snapshot(b)
