@@ -24,7 +24,8 @@ from ..config import MemOptions
 
 
 @functools.partial(
-    jax.jit, static_argnames=("qmax", "tmax", "o_del", "e_del", "o_ins", "e_ins")
+    jax.jit,
+    static_argnames=("qmax", "tmax", "o_del", "e_del", "o_ins", "e_ins", "want_z"),
 )
 def global_batch_kernel(
     qs: jnp.ndarray,     # (B, qmax) int8
@@ -39,6 +40,7 @@ def global_batch_kernel(
     e_del: int,
     o_ins: int,
     e_ins: int,
+    want_z: bool = True,
 ):
     B = qs.shape[0]
     oe_del, oe_ins = o_del + e_del, o_ins + e_ins
@@ -58,7 +60,7 @@ def global_batch_kernel(
     state = dict(
         H=Hprev,
         E=Eprev,
-        z=jnp.zeros((tmax, qmax, B), jnp.uint8),
+        z=jnp.zeros((tmax if want_z else 1, qmax, B), jnp.uint8),
         score=jnp.full((B,), MINUS_INF, jnp.int32),
     )
 
@@ -90,7 +92,10 @@ def global_batch_kernel(
         Enew = jnp.maximum(E - e_del, M - oe_del)
         H = jnp.where(in_band, H, NEG)
         Enew = jnp.where(in_band, Enew, NEG)
-        z = st["z"].at[i].set(jnp.where(in_band & row_live[None, :], d, 0))
+        if want_z:
+            z = st["z"].at[i].set(jnp.where(in_band & row_live[None, :], d, 0))
+        else:
+            z = st["z"]
         # score: H at (tlen-1, qlen-1)
         h_last = jnp.take_along_axis(H, (qlens - 1)[None, :], axis=0)[0]
         score = jnp.where(ii == tlens - 1, h_last, st["score"])
@@ -142,6 +147,7 @@ class BatchGlobal:
         self.qmax = qmax
         self.tmax = tmax
         self.mat = jnp.asarray(opt.scoring_matrix(), jnp.int32)
+        self.mat_np = opt.scoring_matrix().astype(np.int64)
         self.reset()
 
     def reset(self):
@@ -151,21 +157,19 @@ class BatchGlobal:
         self.problems.append((query, target, w))
         return len(self.problems) - 1
 
-    def run(self, want_cigar: bool = True):
-        if not self.problems:
-            return []
+    def _kernel(self, problems, want_z: bool):
         from .sw_extend import pad_batch
 
-        B = len(self.problems)
-        qmax = max(self.qmax, -(-max(len(q) for q, _, _ in self.problems) // 64) * 64)
-        tmax = max(self.tmax, -(-max(len(t) for _, t, _ in self.problems) // 64) * 64)
+        B = len(problems)
+        qmax = max(self.qmax, -(-max(len(q) for q, _, _ in problems) // 64) * 64)
+        tmax = max(self.tmax, -(-max(len(t) for _, t, _ in problems) // 64) * 64)
         Bp = pad_batch(B, 32)
         qs = np.full((Bp, qmax), 4, np.int8)
         ts = np.full((Bp, tmax), 4, np.int8)
         qlens = np.ones(Bp, np.int32)
         tlens = np.ones(Bp, np.int32)
         ws = np.ones(Bp, np.int32)
-        for i, (q, t, w) in enumerate(self.problems):
+        for i, (q, t, w) in enumerate(problems):
             qs[i, : len(q)] = q
             ts[i, : len(t)] = t
             qlens[i] = len(q)
@@ -175,15 +179,43 @@ class BatchGlobal:
             jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
             jnp.asarray(ws), self.mat, qmax, tmax,
             self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
+            want_z=want_z,
         )
-        score = np.asarray(score)
-        out = []
-        if want_cigar:
+        return np.asarray(score), z
+
+    def run(self, want_cigar: bool = True):
+        """Two-phase: score-only first; full traceback only for problems
+        whose optimum is not provably the all-M alignment.
+
+        If rlen == qlen and the global score equals the no-gap score
+        sum(mat[t, q]), the traceback is exactly [(M, qlen)]: any
+        equal-scoring gapped path would need E(i,i) > M(i,i) (or F > max)
+        at some diagonal cell, which would beat the all-M total since the
+        diagonal suffix scores are shared — contradiction.  The reference's
+        tie-breaking prefers M at every cell (ksw.c:551-554), so the bits
+        are 0 along the diagonal.  This skips the (tmax, qmax, B) direction
+        tensor transfer for the typical indel-free alignment."""
+        if not self.problems:
+            return []
+        problems = self.problems
+        self.problems = []
+        score, _ = self._kernel(problems, want_z=False)
+        out: List[Optional[Tuple[int, Optional[List[Tuple[int, int]]]]]] = [None] * len(problems)
+        need_tb = []
+        for i, (q, t, w) in enumerate(problems):
+            sc = int(score[i])
+            if not want_cigar:
+                out[i] = (sc, None)
+            elif len(q) == len(t) and sc == int(self.mat_np[t, q].sum()):
+                out[i] = (sc, [(0, len(q))])
+            else:
+                need_tb.append(i)
+        if need_tb:
+            sub = [problems[i] for i in need_tb]
+            score2, z = self._kernel(sub, want_z=True)
             z = np.asarray(z)
-            for i, (q, t, w) in enumerate(self.problems):
-                cig = traceback(z[:, :, i], len(q), len(t), w)
-                out.append((int(score[i]), cig))
-        else:
-            out = [(int(score[i]), None) for i in range(B)]
-        self.reset()
+            for k, i in enumerate(need_tb):
+                q, t, w = problems[i]
+                cig = traceback(z[:, :, k], len(q), len(t), w)
+                out[i] = (int(score2[k]), cig)
         return out
