@@ -91,16 +91,24 @@ def batch_align_single(
     reads: List[np.ndarray],
     extender_batch: Optional[BatchExtender] = None,
     mat: Optional[np.ndarray] = None,
+    dfm=None,
 ) -> List[List[AlnReg]]:
-    """mem_align1_core over a batch of reads with device-batched extension."""
+    """mem_align1_core over a batch of reads with device-batched extension.
+
+    With ``dfm`` (a DeviceFMIndex) seeding runs on device too."""
     if mat is None:
         mat = opt.scoring_matrix()
     if extender_batch is None:
         extender_batch = BatchExtender(opt)
 
-    from ..align.smem_batch import collect_seeds_batch
+    if dfm is not None:
+        from .fm_seed import collect_seeds_device
 
-    all_mems = collect_seeds_batch(idx, reads, opt)
+        all_mems = collect_seeds_device(idx, reads, opt, dfm=dfm)
+    else:
+        from ..align.smem_batch import collect_seeds_batch
+
+        all_mems = collect_seeds_batch(idx, reads, opt)
     per_read_chains: List[List[Chain]] = []
     seed_probs: List[_SeedProblems] = []
     for codes, mems in zip(reads, all_mems):

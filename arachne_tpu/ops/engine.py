@@ -39,7 +39,7 @@ from .sw_local import BatchLocalSW
 class TpuEngine:
     """Batched device engine bound to one index + config."""
 
-    def __init__(self, idx: FMIndex, cfg: ArachneConfig):
+    def __init__(self, idx: FMIndex, cfg: ArachneConfig, device_seeding: bool = True):
         self.idx = idx
         self.cfg = cfg
         self.opt = cfg.mem
@@ -47,6 +47,11 @@ class TpuEngine:
         self.extender = BatchExtender(cfg.mem)
         self.local = BatchLocalSW(cfg.mem)
         self.global_ = BatchGlobal(cfg.mem)
+        self.dfm = None
+        if device_seeding and idx.seq_len < (1 << 31):
+            from .fm_rank import DeviceFMIndex
+
+            self.dfm = DeviceFMIndex.from_host(idx)
 
     # ------------------------------------------------------------------
     # batched GoBwaMemMateSW over all pairs of a barcode
@@ -60,7 +65,9 @@ class TpuEngine:
         for r1, r2 in pairs:
             flat_reads.append(r1)
             flat_reads.append(r2)
-        regs_flat = batch_align_single(idx, opt, flat_reads, self.extender, self.mat)
+        regs_flat = batch_align_single(
+            idx, opt, flat_reads, self.extender, self.mat, dfm=self.dfm
+        )
         regs1 = [regs_flat[2 * i] for i in range(len(pairs))]
         regs2 = [regs_flat[2 * i + 1] for i in range(len(pairs))]
         best1 = [max((r.score for r in rs), default=0) for rs in regs1]

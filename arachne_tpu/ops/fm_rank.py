@@ -1,0 +1,116 @@
+"""Device-resident FM-index rank queries (occ4 / bwt_extend) in JAX.
+
+The planar index layout (index/build.py) uploads directly: ``occ``
+(int32 [n_blocks, 4] checkpoints every 128 bases) and ``bwt_words``
+(uint32, 16 bases/word MSB-first).  A rank query is a gather of one
+checkpoint row + 8 words, lane-sliced popcounts, and the standard
+bit-trick character match (bwt.c:98-105 __occ_aux) — all VPU work.
+
+Genomes up to 2^31 bases (fwd+rev) use int32 coordinates; larger genomes
+need jax x64 (documented limitation for this round).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.fmindex import FMIndex
+
+
+@dataclass(frozen=True)
+class DeviceFMIndex:
+    """FM-index tables living in device HBM."""
+
+    occ: jnp.ndarray        # int32 (n_blocks, 4)
+    words: jnp.ndarray      # uint32 (n_blocks * 8,)
+    L2: jnp.ndarray         # int32 (5,)
+    primary: int
+    seq_len: int
+    l_pac: int
+
+    @staticmethod
+    def from_host(idx: FMIndex) -> "DeviceFMIndex":
+        assert idx.seq_len < (1 << 31), "int32 device path; enable x64 for larger"
+        return DeviceFMIndex(
+            occ=jnp.asarray(idx.fm.occ.astype(np.int32)),
+            words=jnp.asarray(idx.fm.bwt_words),
+            L2=jnp.asarray(idx.fm.L2.astype(np.int32)),
+            primary=int(idx.primary),
+            seq_len=int(idx.seq_len),
+            l_pac=int(idx.l_pac),
+        )
+
+
+_LANE = jnp.uint32(0x55555555)
+
+
+def occ4_device(fm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
+    """Occ(k, c) for all four chars; k int32 (...,); returns (..., 4).
+
+    Handles the reference's row conventions: k == -1 -> 0,
+    k == seq_len -> L2[c+1]-L2[c] (bwt.c:169-186)."""
+    k = k.astype(jnp.int32)
+    at_end = k == fm.seq_len
+    neg = k == -1
+    kk = jnp.clip(k - (k >= fm.primary).astype(jnp.int32), 0, fm.seq_len - 1)
+    block = kk >> 7
+    base = fm.occ[block]                                     # (..., 4)
+    j = kk & 127
+    widx = jnp.arange(8, dtype=jnp.int32)
+    gather = block[..., None] * 8 + widx                     # (..., 8)
+    words = fm.words[gather]                                 # (..., 8) uint32
+    wi = (j >> 4)[..., None]
+    p = (j & 15)[..., None]
+    nvalid = jnp.where(widx < wi, 16, jnp.where(widx == wi, p + 1, 0))
+    shift = ((16 - nvalid) * 2).astype(jnp.uint32)
+    mask = jnp.where(
+        nvalid == 0,
+        jnp.uint32(0),
+        (~((jnp.uint32(1) << jnp.minimum(shift, 31)) - jnp.uint32(1))),
+    )
+    mask = jnp.where(nvalid == 16, jnp.uint32(0xFFFFFFFF), mask)
+    y = words & mask
+    ny = ~y
+    cnts = []
+    for c in range(4):
+        sel_hi = y if (c & 2) else ny
+        sel_lo = y if (c & 1) else ny
+        t = (sel_hi >> jnp.uint32(1)) & sel_lo & _LANE
+        cnt = jax.lax.population_count(t).astype(jnp.int32).sum(axis=-1)
+        if c == 0:
+            cnt = cnt - (16 - nvalid).sum(axis=-1)
+        cnts.append(cnt)
+    res = base + jnp.stack(cnts, axis=-1)
+    res = jnp.where(neg[..., None], 0, res)
+    end_vals = (fm.L2[1:5] - fm.L2[0:4]).astype(jnp.int32)
+    res = jnp.where(at_end[..., None], end_vals, res)
+    return res
+
+
+def extend_device(
+    fm: DeviceFMIndex,
+    x0: jnp.ndarray,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    is_back: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """bwt_extend (bwt.c:262-275) on device; shapes (...,) -> (..., 4)."""
+    xb = x0 if is_back else x1
+    tk = occ4_device(fm, xb - 1)
+    tl = occ4_device(fm, xb - 1 + x2)
+    ok_b = fm.L2[:4] + 1 + tk
+    ok_s = tl - tk
+    hit_primary = ((xb <= fm.primary) & (xb + x2 - 1 >= fm.primary)).astype(jnp.int32)
+    o3 = (x1 if is_back else x0) + hit_primary
+    o2 = o3 + ok_s[..., 3]
+    o1 = o2 + ok_s[..., 2]
+    o0 = o1 + ok_s[..., 1]
+    ok_o = jnp.stack([o0, o1, o2, o3], axis=-1)
+    if is_back:
+        return ok_b, ok_o, ok_s
+    return ok_o, ok_b, ok_s
