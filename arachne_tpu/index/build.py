@@ -183,11 +183,18 @@ def unpack_2bit(pac: np.ndarray, start: int, end: int) -> np.ndarray:
 
 
 def suffix_array(codes: np.ndarray) -> np.ndarray:
-    """Suffix array of codes+sentinel via prefix doubling (numpy).
+    """Suffix array of codes+sentinel.
 
     Returns SA of length n+1 over the string codes$ where $ sorts first.
-    Replaces is.c's SA-IS; output is identical.
+    Uses the native C++ SA-IS (native/sais.cpp, linear time) when the
+    toolchain is available, else numpy prefix doubling.  Replaces is.c's
+    SA-IS; output is identical either way.
     """
+    from ..native import suffix_array_native
+
+    native = suffix_array_native(np.asarray(codes, dtype=np.uint8))
+    if native is not None:
+        return native
     n = len(codes)
     # sentinel gets rank 0; real bases rank code+1
     rank = np.empty(n + 1, dtype=np.int64)
@@ -259,27 +266,45 @@ def bwt_from_sa(codes2: np.ndarray, sa: np.ndarray) -> Tuple[np.ndarray, int]:
     return codes2[rows - 1], primary
 
 
-def pack_bwt_words(bwt_chars: np.ndarray) -> np.ndarray:
+def pack_bwt_words(bwt_chars: np.ndarray, chunk: int = 1 << 24) -> np.ndarray:
     """Pack BWT chars 16-per-uint32, MSB-first (bwt.h bwt_B0 layout).
 
     Padded to whole 128-base occ blocks so block-wise gathers of 8 words
-    never run out of range."""
+    never run out of range.  Chunked to stay memory-proportional at
+    genome scale."""
     n = len(bwt_chars)
     n_words = ((n + OCC_INTERVAL - 1) // OCC_INTERVAL) * (OCC_INTERVAL // 16)
-    padded = np.zeros(n_words * 16, dtype=np.uint32)
-    padded[:n] = bwt_chars
-    mat = padded.reshape(-1, 16)
+    out = np.zeros(n_words, dtype=np.uint32)
     shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
-    return (mat << shifts[None, :]).sum(axis=1, dtype=np.uint64).astype(np.uint32)
+    for start in range(0, n, chunk):
+        seg = bwt_chars[start : start + chunk]
+        pad_len = ((len(seg) + 15) // 16) * 16
+        padded = np.zeros(pad_len, dtype=np.uint32)
+        padded[: len(seg)] = seg
+        mat = padded.reshape(-1, 16)
+        words = (mat << shifts[None, :]).sum(axis=1, dtype=np.uint64).astype(np.uint32)
+        out[start // 16 : start // 16 + len(words)] = words
+    return out
 
 
-def occ_checkpoints(bwt_chars: np.ndarray, interval: int = OCC_INTERVAL) -> np.ndarray:
-    """occ[b, c] = number of c in bwt_chars[0 : b*interval]."""
+def occ_checkpoints(
+    bwt_chars: np.ndarray, interval: int = OCC_INTERVAL, chunk_blocks: int = 1 << 18
+) -> np.ndarray:
+    """occ[b, c] = number of c in bwt_chars[0 : b*interval] (chunked)."""
     n = len(bwt_chars)
     n_blocks = (n + interval - 1) // interval + 1
-    onehot = np.zeros((n_blocks * interval, 4), dtype=np.int64)
-    onehot[np.arange(n), bwt_chars] = 1
-    per_block = onehot.reshape(n_blocks, interval, 4).sum(axis=1)
+    per_block = np.zeros((n_blocks, 4), dtype=np.int64)
+    for b0 in range(0, n_blocks, chunk_blocks):
+        b1 = min(b0 + chunk_blocks, n_blocks)
+        seg = bwt_chars[b0 * interval : b1 * interval]
+        pad_len = (b1 - b0) * interval
+        if len(seg) < pad_len:
+            seg = np.concatenate(
+                [seg, np.full(pad_len - len(seg), 255, dtype=bwt_chars.dtype)]
+            )
+        blocks = seg.reshape(b1 - b0, interval)
+        for c in range(4):
+            per_block[b0:b1, c] = (blocks == c).sum(axis=1)
     occ = np.zeros((n_blocks + 1, 4), dtype=np.int64)
     np.cumsum(per_block, axis=0, out=occ[1:])
     return occ[:n_blocks]

@@ -1,0 +1,103 @@
+"""Native (C++) host components, loaded via ctypes.
+
+Compiled on demand with g++ into a cached shared library; everything has a
+pure-numpy fallback so the package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "_arachne_native.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> Optional[str]:
+    src = os.path.join(_DIR, "sais.cpp")
+    if not os.path.exists(src):
+        return None
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB_PATH, src],
+            check=True,
+            capture_output=True,
+        )
+        return _LIB_PATH
+    except Exception:
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    path = _LIB_PATH if os.path.exists(_LIB_PATH) else _build()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.sais_u8_i64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        lib.sais_u8_i64.restype = ctypes.c_int
+        lib.sais_u8_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.sais_u8_i32.restype = ctypes.c_int
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def sais_available() -> bool:
+    return get_lib() is not None
+
+
+def suffix_array_native(codes: np.ndarray) -> Optional[np.ndarray]:
+    """SA of codes+sentinel via native SA-IS; None if unavailable.
+
+    Matches index.build.suffix_array: returns SA of length n+1 over the
+    string codes$ with $ smallest."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(codes)
+    s = np.empty(n + 1, dtype=np.uint8)
+    s[:n] = codes + 1
+    s[n] = 0
+    if n + 1 < (1 << 31):
+        sa = np.empty(n + 1, dtype=np.int32)
+        rc = lib.sais_u8_i32(
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            np.int32(n + 1),
+            np.int32(6),
+        )
+        if rc != 0:
+            return None
+        return sa.astype(np.int64)
+    sa = np.empty(n + 1, dtype=np.int64)
+    rc = lib.sais_u8_i64(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        np.int64(n + 1),
+        np.int64(6),
+    )
+    if rc != 0:
+        return None
+    return sa

@@ -39,7 +39,9 @@ from .sw_local import BatchLocalSW
 class TpuEngine:
     """Batched device engine bound to one index + config."""
 
-    def __init__(self, idx: FMIndex, cfg: ArachneConfig, device_seeding: bool = True):
+    def __init__(
+        self, idx: FMIndex, cfg: ArachneConfig, device_seeding: Optional[bool] = None
+    ):
         self.idx = idx
         self.cfg = cfg
         self.opt = cfg.mem
@@ -48,6 +50,14 @@ class TpuEngine:
         self.local = BatchLocalSW(cfg.mem)
         self.global_ = BatchGlobal(cfg.mem)
         self.dfm = None
+        if device_seeding is None:
+            # the seeding kernels' while-loop state machines compile/run
+            # pathologically on the experimental axon tunnel backend;
+            # auto-enable only on regular cpu/tpu platforms
+            import jax
+
+            platform = jax.devices()[0].platform
+            device_seeding = platform in ("cpu", "tpu")
         if device_seeding and idx.seq_len < (1 << 31):
             from .fm_rank import DeviceFMIndex
 
