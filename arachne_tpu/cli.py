@@ -88,18 +88,31 @@ def run_align(args) -> None:
     print(f"Loading reference: {args.reference}")
     idx = load_or_build_index(args.reference)
     print("Reference loaded")
-    bams = BAMWriters(idx, args.output, cfg, version=__version__)
+    from .runtime.checkpoint import CheckpointedStream
+
+    stream = CheckpointedStream(args.r1, args.r2, args.checkpoint or None)
+    suffix = f".gen{stream.generation}" if stream.generation > 0 else ""
+    bams = BAMWriters(idx, args.output, cfg, version=__version__, shard_suffix=suffix)
     stats = RunStats()
     engine = None
     if args.engine == "tpu":
         from .ops.engine import TpuEngine
 
         engine = TpuEngine(idx, cfg)
+    if stream.skip:
+        print(f"Resuming: skipping {stream.skip} completed barcode sets")
     t0 = time.time()
+    profiling = False
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
+        profiling = True
 
     def emit(res, n_records, unique):
         bams.dump(res.alignments, res.attach_bx)
         stats.note_barcode(res)
+        stream.mark_done(1, n_records)
         if n_records > 2:
             print(
                 f"working on barcode {res.barcode}  num reads: {n_records}  "
@@ -112,7 +125,7 @@ def run_align(args) -> None:
 
         pending = []
         pending_pairs = 0
-        for records, unique in iter_barcode_sets(args.r1, args.r2):
+        for records, unique in stream:
             pending.append((records, unique))
             pending_pairs += len(records)
             if pending_pairs >= cfg.pipeline.reads_per_batch:
@@ -128,14 +141,24 @@ def run_align(args) -> None:
             ):
                 emit(res, len(recs), uniq)
     else:
-        for records, unique in iter_barcode_sets(args.r1, args.r2):
+        for records, unique in stream:
             res = do_rfa_for_one_barcode(
                 idx, cfg, records, unique, centromeres, extender=None
             )
             emit(res, len(records), unique)
     bams.close()
+    stream.finish()
+    if profiling:
+        import jax
+
+        jax.profiler.stop_trace()
     dt = time.time() - t0
     stats.finish(dt)
+    if args.stats_json:
+        import json
+
+        with open(args.stats_json, "w") as fh:
+            json.dump(stats.as_dict(), fh, indent=2)
     print(
         f"Arachne completed successfully: {stats.reads} read pairs, "
         f"{stats.barcodes} barcodes, {stats.reads / max(dt, 1e-9):.1f} pairs/s"
@@ -159,6 +182,9 @@ def main(argv=None) -> None:
     al.add_argument("--sam", action="store_true", help="emit SAM text instead of BAM")
     al.add_argument("--debug-tags", action="store_true")
     al.add_argument("--engine", choices=["oracle", "tpu"], default="oracle")
+    al.add_argument("--checkpoint", default="", help="checkpoint manifest path for resume")
+    al.add_argument("--stats-json", default="", help="write run statistics JSON here")
+    al.add_argument("--profile-dir", default="", help="capture a jax profiler trace here")
     al.add_argument("output")
     al.add_argument("reference")
     al.add_argument("r1")

@@ -210,12 +210,19 @@ def _aux_to_sam(aux: bytes) -> str:
 class BAMWriters:
     """CreateBAMs (bamwriter.go:134-188): the sharded writer set."""
 
-    def __init__(self, idx: FMIndex, base_path: str, cfg: ArachneConfig, version: str = "0.1.0"):
+    def __init__(
+        self,
+        idx: FMIndex,
+        base_path: str,
+        cfg: ArachneConfig,
+        version: str = "0.1.0",
+        shard_suffix: str = "",
+    ):
         contigs = [(a.name, a.length) for a in idx.packed.anns]
         self.cfg = cfg
         self.contigs = contigs
         header = build_header_text(cfg, contigs, version)
-        ext = ".sam" if cfg.output.emit_sam else ".bam"
+        ext = shard_suffix + (".sam" if cfg.output.emit_sam else ".bam")
         emit_sam = cfg.output.emit_sam
         os.makedirs(base_path, exist_ok=True)
         self.barcode_sorted = BAMWriter(

@@ -1,0 +1,86 @@
+"""Multi-host data-parallel execution.
+
+The reference is strictly single-node (goroutines + channels, SURVEY.md 5
+"Distributed communication backend: none").  The TPU-native scale-out:
+
+  * ``jax.distributed.initialize`` forms the process group (one process
+    per host of the pod slice);
+  * the barcode-sorted stream is work-partitioned round-robin by
+    superbatch: process ``i`` handles superbatches where
+    ``batch_index % num_processes == i`` — no communication needed on the
+    input side because barcodes are independent work units;
+  * each host writes its own output shards (mirroring the reference's
+    sharded BAMs — no output collective needed);
+  * run statistics merge at the end with a psum over a trivial mesh;
+  * failure handling: a host that dies simply leaves its residue of
+    superbatches unprocessed; the per-host checkpoint manifest
+    (runtime/checkpoint.py) records exactly which, so a re-run with the
+    same topology resumes only the missing work.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class DistContext:
+    process_index: int = 0
+    process_count: int = 1
+    initialized: bool = False
+
+
+def init_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> DistContext:
+    """Initialize the process group (no-op for single-process runs)."""
+    if coordinator is None:
+        coordinator = os.environ.get("ARACHNE_COORDINATOR")
+    if coordinator is None:
+        return DistContext()
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return DistContext(
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+        initialized=True,
+    )
+
+
+def partition_superbatches(
+    superbatches: Iterator, ctx: DistContext
+) -> Iterator[Tuple[int, object]]:
+    """Round-robin assignment of superbatches to this process."""
+    for i, sb in enumerate(superbatches):
+        if i % ctx.process_count == ctx.process_index:
+            yield i, sb
+
+
+def allreduce_stats(values: np.ndarray, ctx: DistContext) -> np.ndarray:
+    """Sum an int64 stats vector across all hosts (psum over the global
+    mesh); identity for single-process runs."""
+    if not ctx.initialized or ctx.process_count == 1:
+        return values
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.experimental.multihost_utils import process_allgather
+
+    gathered = process_allgather(jnp.asarray(values))
+    return np.asarray(gathered).sum(axis=0)
+
+
+def shard_suffix(ctx: DistContext) -> str:
+    """Per-host output shard suffix (empty for single-host runs)."""
+    if ctx.process_count == 1:
+        return ""
+    return f".host{ctx.process_index:03d}"

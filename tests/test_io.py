@@ -126,3 +126,48 @@ class TestBarcodeSort:
         with gzip.open(o1, "rt") as fh:
             names = [l.split("\t")[0] for i, l in enumerate(fh) if i % 4 == 0]
         assert names == ["@b/1", "@d/1", "@c/1", "@a/1"]  # stable within AAA
+
+
+class TestCheckpointResume:
+    def test_resume_skips_and_generations(self, tmp_path):
+        from arachne_tpu.runtime.checkpoint import Checkpoint, CheckpointedStream
+
+        entries = []
+        for bc in ["B1", "B2", "B3", "B4"]:
+            for i in range(2):
+                entries.append((f"@{bc}_{i}/1\tBX:Z:{bc}\tVX:i:1", "ACGT" * 8, "I" * 32))
+        r1, r2 = write_pair(tmp_path, "ck", entries)
+        ck = str(tmp_path / "ck.json")
+        s1 = CheckpointedStream(r1, r2, ck)
+        it = iter(s1)
+        a, _ = next(it)
+        s1.mark_done(1, len(a))
+        b, _ = next(it)
+        s1.mark_done(1, len(b))
+        s1.finish()
+        assert a[0].barcode == b"B1" and b[0].barcode == b"B2"
+        # resume: should see B3 then B4
+        s2 = CheckpointedStream(r1, r2, ck)
+        assert s2.skip == 2
+        assert s2.generation == 1
+        rest = [recs[0].barcode for recs, _ in s2]
+        assert rest == [b"B3", b"B4"]
+
+
+class TestAccuracy:
+    def test_mapq_csv(self, tmp_path):
+        from arachne_tpu.runtime.accuracy import evaluate_sam
+
+        sam = tmp_path / "x.sam"
+        sam.write_text(
+            "@HD\tVN:1.6\n"
+            "chr1_100_300_0/1\t99\tchr1\t101\t60\t50M\t=\t251\t200\tACGT\tIIII\n"
+            "chr1_100_300_0/2\t147\tchr1\t251\t60\t50M\t=\t101\t-200\tACGT\tIIII\n"
+            "chr2_500_700_1/1\t0\tchr1\t900\t3\t50M\t*\t0\t0\tACGT\tIIII\n"
+        )
+        stats = evaluate_sam(str(sam))
+        assert stats.total == 3
+        assert stats.correct == 2
+        assert stats.total_mapq10 == 2 and stats.correct_mapq10 == 2
+        csv = stats.as_csv()
+        assert "all,3,2" in csv
