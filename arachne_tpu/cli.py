@@ -51,11 +51,20 @@ def load_or_build_index(reference: str, keep_full_sa: bool = True):
     from .index import FMIndex, build_index_files, load_index
 
     arx = reference + ".arx.npz"
-    if not os.path.exists(arx):
-        print(f"Building index for {reference} ...", flush=True)
-        t0 = time.time()
-        build_index_files(reference, keep_full_sa=keep_full_sa)
-        print(f"Index built in {time.time() - t0:.1f}s", flush=True)
+    if os.path.exists(arx):
+        packed, fm = load_index(arx)
+        return FMIndex(packed, fm)
+    if os.path.exists(reference + ".bwt"):
+        # prebuilt `bwa index` files (the reference's required input format)
+        from .index.bwaio import load_bwa_index
+
+        print(f"Loading bwa-format index for {reference}", flush=True)
+        packed, fm = load_bwa_index(reference)
+        return FMIndex(packed, fm)
+    print(f"Building index for {reference} ...", flush=True)
+    t0 = time.time()
+    build_index_files(reference, keep_full_sa=keep_full_sa)
+    print(f"Index built in {time.time() - t0:.1f}s", flush=True)
     packed, fm = load_index(arx)
     return FMIndex(packed, fm)
 
@@ -194,6 +203,10 @@ def main(argv=None) -> None:
     ix = sub.add_parser("index", help="build the FM-index for a FASTA reference")
     ix.add_argument("reference")
     ix.add_argument("--sampled-sa", action="store_true", help="store sampled SA only")
+    ix.add_argument(
+        "--bwa-format", action="store_true",
+        help="also write bwa-compatible .bwt/.sa/.pac/.ann/.amb files",
+    )
 
     st = sub.add_parser("standardize", help="convert linked-read FASTQ to BX:Z/VX:i form")
     st.add_argument("r1")
@@ -215,6 +228,13 @@ def main(argv=None) -> None:
 
         out = build_index_files(args.reference, keep_full_sa=not args.sampled_sa)
         print(f"Index written to {out}")
+        if args.bwa_format:
+            from .index import load_index
+            from .index.bwaio import save_bwa_index
+
+            packed, fm = load_index(out)
+            save_bwa_index(args.reference, packed, fm)
+            print(f"bwa-format index written to {args.reference}.[bwt,sa,pac,ann,amb]")
     elif args.command == "standardize":
         from .io.standardize import standardize
 

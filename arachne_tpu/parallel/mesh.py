@@ -102,3 +102,65 @@ def sharded_index_arrays(mesh: Mesh, fm_occ: np.ndarray, fm_words: np.ndarray):
         jax.device_put(jnp.asarray(fm_occ), shard),
         jax.device_put(jnp.asarray(fm_words.reshape(-1, 8)), shard),
     )
+
+
+def sharded_occ4(
+    mesh: Mesh,
+    idx_occ: np.ndarray,
+    idx_words: np.ndarray,
+    L2: np.ndarray,
+    primary: int,
+    seq_len: int,
+    ks: np.ndarray,
+) -> np.ndarray:
+    """Rank queries against an FM-index block-sharded across the mesh.
+
+    Each device holds a contiguous range of 128-base occ blocks (rows keep
+    their *global* cumulative counts, so an owning shard answers a query
+    completely); every device computes occ4 for the queries whose block it
+    owns (others contribute zero) and a psum over the mesh assembles the
+    answers — lookup-as-collective, the large-genome mode of SURVEY.md §5.
+    The k==-1 / k==seq_len edge rows are the caller's job (they need no
+    table access)."""
+    import jax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.fm_rank import DeviceFMIndex, occ4_device
+
+    n = mesh.devices.size
+    blocks = idx_occ.shape[0]
+    per = -(-blocks // n)
+    pad_blocks = per * n - blocks
+    occ_p = np.concatenate([idx_occ, np.zeros((pad_blocks, 4), idx_occ.dtype)])
+    words = idx_words
+    need = per * n * 8
+    if len(words) < need:
+        words = np.concatenate([words, np.zeros(need - len(words), words.dtype)])
+    occ_d = jnp.asarray(occ_p.astype(np.int32)).reshape(n, per, 4)
+    words_d = jnp.asarray(words).reshape(n, per * 8)
+    ks_d = jnp.asarray(ks.astype(np.int32))
+    L2_d = jnp.asarray(L2.astype(np.int32))
+
+    def shard_fn(occ_s, words_s, ks_all):
+        me = jax.lax.axis_index("data")
+        lo = me * per
+        kk = ks_all - (ks_all >= primary).astype(jnp.int32)
+        block = jnp.clip(kk, 0, seq_len - 1) >> 7
+        mine = (block >= lo) & (block < lo + per) & (ks_all >= 0) & (ks_all < seq_len)
+        # shard-local view; primary pushed out of range because kk is
+        # already primary-adjusted
+        local = DeviceFMIndex(
+            occ=occ_s[0], words=words_s[0], L2=L2_d,
+            primary=per * 128 + 1, seq_len=per * 128, l_pac=0,
+        )
+        vals = occ4_device(local, jnp.where(mine, kk - lo * 128, 0))
+        return jax.lax.psum(jnp.where(mine[:, None], vals, 0), "data")
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P()),
+        out_specs=P(),
+    )
+    return np.asarray(fn(occ_d, words_d, ks_d))

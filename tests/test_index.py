@@ -207,3 +207,34 @@ def test_hash64_known_values():
     assert hash_64(0) == hash_64(0)
     assert hash_64(1) != hash_64(2)
     assert 0 <= hash_64(12345) < (1 << 64)
+
+
+class TestBwaDiskFormat:
+    def test_roundtrip(self, small_reference, tmp_path, rng):
+        from arachne_tpu.index.bwaio import load_bwa_index, save_bwa_index
+        from arachne_tpu.index import build_fmindex, pack_reference, FMIndex
+
+        packed = pack_reference(small_reference)
+        fm = build_fmindex(packed)
+        prefix = str(tmp_path / "ref.fa")
+        save_bwa_index(prefix, packed, fm)
+        for ext in (".pac", ".ann", ".amb", ".bwt", ".sa"):
+            assert (tmp_path / ("ref.fa" + ext)).exists()
+        packed2, fm2 = load_bwa_index(prefix)
+        assert packed2.l_pac == packed.l_pac
+        assert np.array_equal(packed2.pac, packed.pac)
+        assert [a.name for a in packed2.anns] == [a.name for a in packed.anns]
+        assert [(h.offset, h.length) for h in packed2.ambs] == [
+            (h.offset, h.length) for h in packed.ambs
+        ]
+        assert fm2.primary == fm.primary
+        assert np.array_equal(fm2.L2, fm.L2)
+        assert np.array_equal(fm2.occ, fm.occ)
+        assert np.array_equal(fm2.bwt_words, fm.bwt_words)
+        # loaded index answers queries identically (sampled-SA walk path)
+        idx1 = FMIndex(packed, fm)
+        idx2 = FMIndex(packed2, fm2)
+        ks = rng.integers(1, fm.seq_len, 100).astype(np.int64)
+        assert np.array_equal(idx1.sa(ks), idx2.sa(ks))
+        for c in range(4):
+            assert np.array_equal(idx1.occ(ks, c), idx2.occ(ks, c))
