@@ -94,8 +94,10 @@ def sharded_index_arrays(mesh: Mesh, fm_occ: np.ndarray, fm_words: np.ndarray):
     pad_blocks = (-blocks) % n
     if pad_blocks:
         fm_occ = np.concatenate([fm_occ, np.zeros((pad_blocks, 4), fm_occ.dtype)])
+    total_words = fm_occ.shape[0] * 8
+    if len(fm_words) < total_words:
         fm_words = np.concatenate(
-            [fm_words, np.zeros(pad_blocks * 8, fm_words.dtype)]
+            [fm_words, np.zeros(total_words - len(fm_words), fm_words.dtype)]
         )
     shard = NamedSharding(mesh, P("data"))
     return (
