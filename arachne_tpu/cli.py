@@ -220,6 +220,21 @@ def main(argv=None) -> None:
     so.add_argument("--out-r1", default="bc_sorted.R1.fq.gz")
     so.add_argument("--out-r2", default="bc_sorted.R2.fq.gz")
 
+    sim = sub.add_parser("simulate", help="simulate linked-read FASTQ with truth names")
+    sim.add_argument("reference")
+    sim.add_argument("--out-r1", default="sim.R1.fq.gz")
+    sim.add_argument("--out-r2", default="sim.R2.fq.gz")
+    sim.add_argument("--barcodes", type=int, default=50)
+    sim.add_argument("--molecules", type=int, default=3)
+    sim.add_argument("--pairs", type=int, default=12)
+    sim.add_argument("--molecule-len", type=int, default=40000)
+    sim.add_argument("--error-rate", type=float, default=0.002)
+    sim.add_argument("--seed", type=int, default=0)
+
+    ev = sub.add_parser("evaluate", help="score a SAM against truth-encoded read names")
+    ev.add_argument("sam")
+    ev.add_argument("--tolerance", type=int, default=20)
+
     args = parser.parse_args(argv)
     if args.command == "align":
         run_align(args)
@@ -245,6 +260,28 @@ def main(argv=None) -> None:
 
         o1, o2 = barcode_sort(args.r1, args.r2, args.out_r1, args.out_r2)
         print(f"Barcode-sorted FASTQ: {o1} {o2}")
+    elif args.command == "simulate":
+        from .index import parse_fasta
+        from .io.simulate import SimConfig, simulate_linked_reads
+
+        contigs = parse_fasta(args.reference)
+        n = simulate_linked_reads(
+            contigs, args.out_r1, args.out_r2,
+            SimConfig(
+                n_barcodes=args.barcodes,
+                molecules_per_barcode=args.molecules,
+                pairs_per_molecule=args.pairs,
+                molecule_len=args.molecule_len,
+                error_rate=args.error_rate,
+                seed=args.seed,
+            ),
+        )
+        print(f"Simulated {n} read pairs -> {args.out_r1} {args.out_r2}")
+    elif args.command == "evaluate":
+        from .runtime.accuracy import evaluate_sam
+
+        stats = evaluate_sam(args.sam, args.tolerance)
+        print(stats.as_csv(), end="")
     else:
         parser.print_help()
         sys.exit(1)

@@ -1,0 +1,94 @@
+"""Linked-read simulation: molecules -> barcoded read pairs with truth.
+
+Generates haplotagging-style data for the benchmark configs (BASELINE.md)
+and accuracy validation: each barcode covers a few long molecules; read
+pairs sample fragments from the molecules with sequencing errors.  Read
+names encode the truth (`<contig>_<p1>_<p2>_<serial>`) so
+runtime/accuracy.py can score placements.
+"""
+
+from __future__ import annotations
+
+import gzip
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+COMP = {65: 84, 67: 71, 71: 67, 84: 65}
+
+
+@dataclass
+class SimConfig:
+    n_barcodes: int = 50
+    molecules_per_barcode: int = 3
+    molecule_len: int = 40_000
+    pairs_per_molecule: int = 12
+    read_len: int = 150
+    fragment_mean: int = 350
+    fragment_std: int = 50
+    error_rate: float = 0.002
+    seed: int = 0
+
+
+def _barcode(i: int) -> str:
+    a, rest = divmod(i, 96 * 96 * 96)
+    c, rest = divmod(rest, 96 * 96)
+    b, d = divmod(rest, 96)
+    return f"A{a % 96 + 1:02d}C{c + 1:02d}B{b + 1:02d}D{d + 1:02d}"
+
+
+def revcomp_str(s: str) -> str:
+    return s.translate(str.maketrans("ACGTN", "TGCAN"))[::-1]
+
+
+def simulate_linked_reads(
+    contigs: List[Tuple[str, str, str]],
+    out_r1: str,
+    out_r2: str,
+    cfg: Optional[SimConfig] = None,
+) -> int:
+    """Write barcode-sorted standard-format gzipped FASTQ; returns #pairs."""
+    cfg = cfg or SimConfig()
+    rng = np.random.default_rng(cfg.seed)
+    total = 0
+    serial = 0
+    with gzip.open(out_r1, "wt") as f1, gzip.open(out_r2, "wt") as f2:
+        for bi in range(cfg.n_barcodes):
+            bc = _barcode(bi)
+            for _mi in range(cfg.molecules_per_barcode):
+                ci = int(rng.integers(0, len(contigs)))
+                name, _, seq = contigs[ci]
+                if len(seq) <= cfg.molecule_len + cfg.fragment_mean:
+                    mol_start = 0
+                    mol_len = len(seq)
+                else:
+                    mol_start = int(rng.integers(0, len(seq) - cfg.molecule_len))
+                    mol_len = cfg.molecule_len
+                for _p in range(cfg.pairs_per_molecule):
+                    frag = int(
+                        np.clip(
+                            rng.normal(cfg.fragment_mean, cfg.fragment_std),
+                            2 * cfg.read_len,
+                            mol_len,
+                        )
+                    )
+                    pos = mol_start + int(rng.integers(0, max(mol_len - frag, 1)))
+                    fragment = seq[pos : pos + frag]
+                    if len(fragment) < 2 * cfg.read_len:
+                        continue
+                    r1 = list(fragment[: cfg.read_len])
+                    r2 = list(revcomp_str(fragment[-cfg.read_len :]))
+                    for r in (r1, r2):
+                        n_err = rng.poisson(cfg.error_rate * cfg.read_len)
+                        for _ in range(n_err):
+                            j = int(rng.integers(0, cfg.read_len))
+                            r[j] = "ACGT"[int(rng.integers(0, 4))]
+                    qname = f"{name}_{pos + 1}_{pos + frag}_{serial}"
+                    serial += 1
+                    hdr = f"BX:Z:{bc}\tVX:i:1"
+                    f1.write(f"@{qname}/1\t{hdr}\n{''.join(r1)}\n+\n{'I' * cfg.read_len}\n")
+                    f2.write(f"@{qname}/2\t{hdr}\n{''.join(r2)}\n+\n{'I' * cfg.read_len}\n")
+                    total += 1
+    return total
