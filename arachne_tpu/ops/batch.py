@@ -106,9 +106,9 @@ def batch_align_single(
 
         all_mems = collect_seeds_device(idx, reads, opt, dfm=dfm)
     else:
-        from ..align.smem_batch import collect_seeds_batch
+        from ..align.smem_dense import collect_seeds_dense
 
-        all_mems = collect_seeds_batch(idx, reads, opt)
+        all_mems = collect_seeds_dense(idx, reads, opt)
     per_read_chains: List[List[Chain]] = []
     seed_probs: List[_SeedProblems] = []
     for codes, mems in zip(reads, all_mems):

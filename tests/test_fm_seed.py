@@ -93,3 +93,27 @@ class TestDeviceSeeding:
         got = collect_seeds_device(idx, reads, OPT)
         for i, (r, g) in enumerate(zip(reads, got)):
             assert same_smems(g, collect_seeds(idx, r, OPT)), i
+
+
+class TestDenseSeeding:
+    """The dense numpy host engine must also match the scalar collector."""
+
+    def test_random_reads(self, ref, rng):
+        from arachne_tpu.align.smem_dense import collect_seeds_dense
+
+        idx, fwd = ref
+        reads = []
+        for _ in range(30):
+            pos = int(rng.integers(0, len(fwd) - 160))
+            r = fwd[pos : pos + 140].copy()
+            for _ in range(int(rng.integers(0, 7))):
+                j = int(rng.integers(0, 140))
+                r[j] = (r[j] + 1) % 4
+            if rng.integers(0, 3) == 0:
+                r[int(rng.integers(0, 140))] = 4
+            reads.append(r)
+        reads.append(np.full(30, 4, dtype=np.uint8))  # all-N
+        reads.append(fwd[:19].copy())                 # min length
+        got = collect_seeds_dense(idx, reads, OPT)
+        for i, (r, g) in enumerate(zip(reads, got)):
+            assert same_smems(g, collect_seeds(idx, r, OPT)), i
