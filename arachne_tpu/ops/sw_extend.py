@@ -236,6 +236,8 @@ class BatchExtender:
         self.h0s.append(h0)
         return len(self.queries) - 1
 
+    CHUNK = 4096  # fixed device batch: exactly one compile per (qmax, tmax)
+
     def run(self):
         B = len(self.queries)
         if B == 0:
@@ -243,27 +245,34 @@ class BatchExtender:
         # bucket padded shapes to multiples of 64 so jit caches stay warm
         qmax = max(self.qmax, -(-max(len(q) for q in self.queries) // 64) * 64)
         tmax = max(self.tmax, -(-max(len(t) for t in self.targets) // 64) * 64)
-        Bp = pad_batch(B)
-        qs = np.full((Bp, qmax), 4, np.int8)
-        ts = np.full((Bp, tmax), 4, np.int8)
-        qlens = np.ones(Bp, np.int32)
-        tlens = np.zeros(Bp, np.int32)
-        ws = np.ones(Bp, np.int32)
-        h0s = np.ones(Bp, np.int32)
-        ws[:B] = np.array(self.ws, np.int32)
-        h0s[:B] = np.array(self.h0s, np.int32)
-        for i, (q, t) in enumerate(zip(self.queries, self.targets)):
-            qs[i, : len(q)] = q
-            ts[i, : len(t)] = t
-            qlens[i] = len(q)
-            tlens[i] = len(t)
-        out = extend_batch_kernel(
-            jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
-            jnp.asarray(ws), jnp.asarray(h0s),
-            self.mat, qmax, tmax,
-            self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
-            self.opt.zdrop,
-        )
-        arrs = [np.asarray(o) for o in out]
+        results = []
+        for c0 in range(0, B, self.CHUNK):
+            c1 = min(c0 + self.CHUNK, B)
+            nb = c1 - c0
+            Bp = self.CHUNK if B > self.CHUNK else pad_batch(nb)
+            qs = np.full((Bp, qmax), 4, np.int8)
+            ts = np.full((Bp, tmax), 4, np.int8)
+            qlens = np.ones(Bp, np.int32)
+            tlens = np.zeros(Bp, np.int32)
+            ws = np.ones(Bp, np.int32)
+            h0s = np.ones(Bp, np.int32)
+            ws[:nb] = np.array(self.ws[c0:c1], np.int32)
+            h0s[:nb] = np.array(self.h0s[c0:c1], np.int32)
+            for i in range(nb):
+                q = self.queries[c0 + i]
+                t = self.targets[c0 + i]
+                qs[i, : len(q)] = q
+                ts[i, : len(t)] = t
+                qlens[i] = len(q)
+                tlens[i] = len(t)
+            out = extend_batch_kernel(
+                jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
+                jnp.asarray(ws), jnp.asarray(h0s),
+                self.mat, qmax, tmax,
+                self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
+                self.opt.zdrop,
+            )
+            arrs = [np.asarray(o) for o in out]
+            results.extend(tuple(int(a[i]) for a in arrs) for i in range(nb))
         self.reset()
-        return [tuple(int(a[i]) for a in arrs) for i in range(B)]
+        return results

@@ -157,31 +157,46 @@ class BatchGlobal:
         self.problems.append((query, target, w))
         return len(self.problems) - 1
 
+    CHUNK = 1024  # fixed device batch: one compile per (qmax, tmax, want_z)
+    CHUNK_Z = 256  # traceback batches are transfer-heavy; keep them small
+
     def _kernel(self, problems, want_z: bool):
         from .sw_extend import pad_batch
 
         B = len(problems)
         qmax = max(self.qmax, -(-max(len(q) for q, _, _ in problems) // 64) * 64)
         tmax = max(self.tmax, -(-max(len(t) for _, t, _ in problems) // 64) * 64)
-        Bp = pad_batch(B, 32)
-        qs = np.full((Bp, qmax), 4, np.int8)
-        ts = np.full((Bp, tmax), 4, np.int8)
-        qlens = np.ones(Bp, np.int32)
-        tlens = np.ones(Bp, np.int32)
-        ws = np.ones(Bp, np.int32)
-        for i, (q, t, w) in enumerate(problems):
-            qs[i, : len(q)] = q
-            ts[i, : len(t)] = t
-            qlens[i] = len(q)
-            tlens[i] = len(t)
-            ws[i] = w
-        score, z = global_batch_kernel(
-            jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
-            jnp.asarray(ws), self.mat, qmax, tmax,
-            self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
-            want_z=want_z,
-        )
-        return np.asarray(score), z
+        chunk = self.CHUNK_Z if want_z else self.CHUNK
+        scores = []
+        zs = []
+        for c0 in range(0, B, chunk):
+            c1 = min(c0 + chunk, B)
+            nb = c1 - c0
+            Bp = chunk if B > chunk else pad_batch(nb, 32)
+            qs = np.full((Bp, qmax), 4, np.int8)
+            ts = np.full((Bp, tmax), 4, np.int8)
+            qlens = np.ones(Bp, np.int32)
+            tlens = np.ones(Bp, np.int32)
+            ws = np.ones(Bp, np.int32)
+            for i in range(nb):
+                q, t, w = problems[c0 + i]
+                qs[i, : len(q)] = q
+                ts[i, : len(t)] = t
+                qlens[i] = len(q)
+                tlens[i] = len(t)
+                ws[i] = w
+            score, z = global_batch_kernel(
+                jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
+                jnp.asarray(ws), self.mat, qmax, tmax,
+                self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
+                want_z=want_z,
+            )
+            scores.append(np.asarray(score)[:nb])
+            if want_z:
+                zs.append(np.asarray(z)[:, :, :nb])
+        score_all = np.concatenate(scores)
+        z_all = np.concatenate(zs, axis=2) if zs else None
+        return score_all, z_all
 
     def run(self, want_cigar: bool = True):
         """Two-phase: score-only first; full traceback only for problems

@@ -150,30 +150,47 @@ class BatchLocalSW:
         self.problems.append((query, target, minsc))
         return len(self.problems) - 1
 
+    CHUNK = 1024  # fixed device batch: one compile per (qmax, tmax)
+
     def _run_kernel(self, qs_list, ts_list, endscs):
         B = len(qs_list)
         from .sw_extend import pad_batch
 
         qmax = max(self.qmax, -(-max((len(q) for q in qs_list), default=1) // 64) * 64)
         tmax = max(self.tmax, -(-max((len(t) for t in ts_list), default=1) // 64) * 64)
-        Bp = pad_batch(B, 32)
-        qs = np.full((Bp, qmax), 4, np.int8)
-        ts = np.full((Bp, tmax), 4, np.int8)
-        qlens = np.ones(Bp, np.int32)
-        tlens = np.zeros(Bp, np.int32)
-        ends = np.full(Bp, 0x10000, np.int32)
-        ends[:B] = np.asarray(endscs, np.int32)
-        for i, (q, t) in enumerate(zip(qs_list, ts_list)):
-            qs[i, : len(q)] = q
-            ts[i, : len(t)] = t
-            qlens[i] = len(q)
-            tlens[i] = len(t)
-        out = local_sw_batch_kernel(
-            jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
-            jnp.asarray(ends), self.mat, qmax, tmax,
-            self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
-        )
-        return [np.asarray(o) for o in out]
+        chunk_outs = []
+        for c0 in range(0, B, self.CHUNK):
+            c1 = min(c0 + self.CHUNK, B)
+            nb = c1 - c0
+            Bp = self.CHUNK if B > self.CHUNK else pad_batch(nb, 32)
+            qs = np.full((Bp, qmax), 4, np.int8)
+            ts = np.full((Bp, tmax), 4, np.int8)
+            qlens = np.ones(Bp, np.int32)
+            tlens = np.zeros(Bp, np.int32)
+            ends = np.full(Bp, 0x10000, np.int32)
+            ends[:nb] = np.asarray(endscs[c0:c1], np.int32)
+            for i in range(nb):
+                q, t = qs_list[c0 + i], ts_list[c0 + i]
+                qs[i, : len(q)] = q
+                ts[i, : len(t)] = t
+                qlens[i] = len(q)
+                tlens[i] = len(t)
+            out = local_sw_batch_kernel(
+                jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
+                jnp.asarray(ends), self.mat, qmax, tmax,
+                self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
+            )
+            chunk_outs.append(([np.asarray(o) for o in out], nb))
+        merged = []
+        for j in range(4):
+            parts = []
+            for arrs, nb in chunk_outs:
+                a = arrs[j]
+                parts.append(a[:, :nb] if a.ndim > 1 else a[:nb])
+            merged.append(
+                np.concatenate(parts, axis=1) if parts[0].ndim > 1 else np.concatenate(parts)
+            )
+        return merged
 
     def run_align2(self) -> List[KswResult]:
         """Full ksw_align2 semantics (XSUBO|XSTART) for all problems."""
