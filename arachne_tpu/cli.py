@@ -235,6 +235,9 @@ def main(argv=None) -> None:
     ev.add_argument("sam")
     ev.add_argument("--tolerance", type=int, default=20)
 
+    mg = sub.add_parser("merge", help="merge resume-generation output shards")
+    mg.add_argument("output_dir")
+
     args = parser.parse_args(argv)
     if args.command == "align":
         run_align(args)
@@ -282,6 +285,11 @@ def main(argv=None) -> None:
 
         stats = evaluate_sam(args.sam, args.tolerance)
         print(stats.as_csv(), end="")
+    elif args.command == "merge":
+        from .io.merge import merge_generations
+
+        merged = merge_generations(args.output_dir)
+        print(f"Merged {merged} sharded outputs in {args.output_dir}")
     else:
         parser.print_help()
         sys.exit(1)

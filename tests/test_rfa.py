@@ -179,3 +179,106 @@ class TestEngine:
         actives = [a for alist in res.alignments for a in alist if a.active]
         dups = [a for a in actives if a.duplicate]
         assert len(dups) == 2  # both sides of the duplicated pair
+
+
+class TestOptimizerSemantics:
+    """Hand-computed fastScore/acceptMove cases (aligner.go:1109-1298)."""
+
+    def _mol(self, mol_id, alns):
+        from arachne_tpu.rfa.types import CandidateMolecule, OrderedMap
+
+        m = CandidateMolecule(id=mol_id)
+        for a in alns:
+            amap = OrderedMap()
+            amap.set(a.id, a)
+            m.alignments.set(a.read_id, amap)
+        return m
+
+    def test_fast_score_alignment_delta(self):
+        from arachne_tpu.rfa.optimizer import fast_score
+        from arachne_tpu.rfa.types import Alignment, OrderedMap
+
+        # source has one active read with log-prob -6; sink offers -2
+        src_aln = Alignment(id=0, read_id=0, mate_id=1, contig="c", pos=100,
+                            log_alignment_probability=-6.0)
+        sink_aln = Alignment(id=1, read_id=0, mate_id=1, contig="c", pos=900_000,
+                             log_alignment_probability=-2.0)
+        source = self._mol(0, [src_aln])
+        sink = self._mol(1, [sink_aln])
+        source.active_alignments = OrderedMap()
+        source.active_alignments.set(0, src_aln)
+        source.best_alignment_for_read = OrderedMap()
+        source.best_alignment_for_read.set(0, src_aln)
+        sink.active_alignments = OrderedMap()
+        sink.best_alignment_for_read = OrderedMap()
+        sink.best_alignment_for_read.set(0, sink_aln)
+        change, move = fast_score(source, sink, -4.0)
+        # single unpaired read: alignment delta -2 - (-6) = 4; sink was
+        # empty so a -3 birth bonus applies; source empties: -(-3)
+        assert move.num_moved == 1
+        assert change == 4.0 + 3.0 - 3.0
+        assert move.to_delete == [0]
+
+    def test_accept_move_transfers_active(self):
+        from arachne_tpu.rfa.optimizer import accept_move, fast_score
+        from arachne_tpu.rfa.types import Alignment, OrderedMap
+
+        src_aln = Alignment(id=0, read_id=0, mate_id=1, contig="c", pos=1,
+                            log_alignment_probability=-9.0, active=True,
+                            mismatch_locs=[11, 12])
+        sink_aln = Alignment(id=1, read_id=0, mate_id=1, contig="c", pos=2,
+                             log_alignment_probability=-1.0, mismatch_locs=[55])
+        source = self._mol(0, [src_aln])
+        sink = self._mol(1, [sink_aln])
+        source.active_alignments = OrderedMap()
+        source.active_alignments.set(0, src_aln)
+        source.best_alignment_for_read = OrderedMap()
+        source.best_alignment_for_read.set(0, src_aln)
+        source.mismatch_locs = {11: 1, 12: 1}
+        sink.active_alignments = OrderedMap()
+        sink.best_alignment_for_read = OrderedMap()
+        sink.best_alignment_for_read.set(0, sink_aln)
+        _, move = fast_score(source, sink, -4.0)
+        accept_move(move)
+        assert not src_aln.active and sink_aln.active
+        assert len(source.active_alignments) == 0
+        assert sink.active_alignments.get(0) is sink_aln
+        assert source.mismatch_locs == {11: 0, 12: 0}
+        assert sink.mismatch_locs == {55: 1}
+
+    def test_is_active_molecule_thresholds(self):
+        from arachne_tpu.rfa.optimizer import is_active_molecule
+        from arachne_tpu.rfa.types import Alignment, CandidateMolecule, OrderedMap
+
+        m = CandidateMolecule()
+        m.active_alignments = OrderedMap()
+        m.best_alignment_for_read = OrderedMap()
+        for i in range(5):
+            a = Alignment(id=i, read_id=i)
+            m.active_alignments.set(i, a)
+        for i in range(20):
+            m.best_alignment_for_read.set(i, Alignment(id=100 + i, read_id=i))
+        # 5 active > 4, density 5/20 = 0.25 >= 0.1 -> active
+        assert is_active_molecule(m, 0)
+        # removing one -> 4 active, fails the > 4 rule
+        assert not is_active_molecule(m, -1)
+        # density rule: 5/60 < 0.1 -> inactive
+        for i in range(20, 60):
+            m.best_alignment_for_read.set(i, Alignment(id=200 + i, read_id=i))
+        assert not is_active_molecule(m, 0)
+
+
+class TestMergeGenerations:
+    def test_sam_merge(self, tmp_path):
+        from arachne_tpu.io.merge import merge_generations
+
+        d = tmp_path / "out"
+        d.mkdir()
+        (d / "bc_sorted_bam.sam").write_text("@HD\tVN:1.6\nr1\t0\tc\t1\t60\t4M\t*\t0\t0\tACGT\tIIII\n")
+        (d / "bc_sorted_bam.gen1.sam").write_text("@HD\tVN:1.6\nr2\t0\tc\t9\t60\t4M\t*\t0\t0\tACGT\tIIII\n")
+        n = merge_generations(str(d))
+        assert n == 1
+        text = (d / "bc_sorted_bam.sam").read_text()
+        assert "r1\t" in text and "r2\t" in text
+        assert text.count("@HD") == 1
+        assert not (d / "bc_sorted_bam.gen1.sam").exists()
