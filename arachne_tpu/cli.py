@@ -129,26 +129,48 @@ def run_align(args) -> None:
             )
 
     if engine is not None:
-        # superbatch: amortize device round trips across many barcodes
+        # superbatch pipeline: host phases of batch N overlap the device
+        # waits of batch N+1 (device calls release the GIL); results are
+        # consumed in order so output stays deterministic
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .ops.engine import TpuEngine
         from .rfa.engine import process_barcodes
 
-        pending = []
-        pending_pairs = 0
-        for records, unique in stream:
-            pending.append((records, unique))
-            pending_pairs += len(records)
-            if pending_pairs >= cfg.pipeline.reads_per_batch:
-                for res, (recs, uniq) in zip(
-                    process_barcodes(idx, cfg, pending, engine, centromeres), pending
-                ):
+        tls = threading.local()
+
+        def run_batch(batch):
+            eng = getattr(tls, "engine", None)
+            if eng is None:
+                eng = TpuEngine(idx, cfg)
+                tls.engine = eng
+            return process_barcodes(idx, cfg, batch, eng, centromeres)
+
+        def superbatches():
+            pending = []
+            pending_pairs = 0
+            for records, unique in stream:
+                pending.append((records, unique))
+                pending_pairs += len(records)
+                if pending_pairs >= cfg.pipeline.reads_per_batch:
+                    yield pending
+                    pending = []
+                    pending_pairs = 0
+            if pending:
+                yield pending
+
+        with ThreadPoolExecutor(max_workers=cfg.pipeline.num_workers) as pool:
+            futures = []
+            for batch in superbatches():
+                futures.append((pool.submit(run_batch, batch), batch))
+                while len(futures) > cfg.pipeline.num_workers:
+                    fut, b = futures.pop(0)
+                    for res, (recs, uniq) in zip(fut.result(), b):
+                        emit(res, len(recs), uniq)
+            for fut, b in futures:
+                for res, (recs, uniq) in zip(fut.result(), b):
                     emit(res, len(recs), uniq)
-                pending = []
-                pending_pairs = 0
-        if pending:
-            for res, (recs, uniq) in zip(
-                process_barcodes(idx, cfg, pending, engine, centromeres), pending
-            ):
-                emit(res, len(recs), uniq)
     else:
         for records, unique in stream:
             res = do_rfa_for_one_barcode(
