@@ -108,7 +108,7 @@ def _smem_pass_kernel(
         n = st["curr_n"]
         ovf = do & (n >= MAXC)
         slot = jnp.clip(n, 0, MAXC - 1)
-        upd = jnp.zeros((R, MAXC), bool).at[jnp.arange(R), slot].set(do & ~ovf)
+        upd = (jnp.arange(MAXC, dtype=I32)[None, :] == slot[:, None]) & (do & ~ovf)[:, None]
         curr = jnp.where(upd[:, :, None], item[:, None, :], st["curr"])
         st = dict(st)
         st["curr"] = curr
@@ -210,7 +210,9 @@ def _smem_pass_kernel(
             mem_item = jnp.stack(
                 [pj[:, 0], pj[:, 1], pj[:, 2], st["i"] + 1, pj[:, 3]], axis=1
             )
-            updm = jnp.zeros((R, MAXS), bool).at[jnp.arange(R), slot].set(do_mem & ~memovf)
+            updm = (
+                jnp.arange(MAXS, dtype=I32)[None, :] == slot[:, None]
+            ) & (do_mem & ~memovf)[:, None]
             st_mem = jnp.where(updm[:, :, None], mem_item[:, None, :], st_mem)
             st_memn = jnp.where(do_mem & ~memovf, st_memn + 1, st_memn)
             # push curr if extension kept the interval alive and size is new
@@ -218,7 +220,9 @@ def _smem_pass_kernel(
             currovf = do_curr & (ncurr >= MAXC)
             cslot = jnp.clip(ncurr, 0, MAXC - 1)
             curr_item = jnp.stack([nb0[:, j], nb1[:, j], oks, pj[:, 3]], axis=1)
-            updc = jnp.zeros((R, MAXC), bool).at[jnp.arange(R), cslot].set(do_curr & ~currovf)
+            updc = (
+                jnp.arange(MAXC, dtype=I32)[None, :] == cslot[:, None]
+            ) & (do_curr & ~currovf)[:, None]
             st_curr = jnp.where(updc[:, :, None], curr_item[:, None, :], st_curr)
             ncurr = jnp.where(do_curr & ~currovf, ncurr + 1, ncurr)
             last_s = jnp.where(do_curr, oks, last_s)
@@ -258,11 +262,14 @@ def _smem_pass_kernel(
             can = done_mask[:, None] & (tidx < sn[:, None]) & (dst < MAXS)
             ovf2 = done_mask & (n_out + sn > MAXS)
             out = st["out"]
-            # scatter with masked rows routed out of bounds (dropped)
-            dst_w = jnp.where(can, dst, MAXS)
-            out = jax.vmap(lambda o, r, d: o.at[d].set(r, mode="drop"))(
-                out, rev, dst_w
-            )
+            # one-hot write: out[d] = rev[t] where dst[t] == d and can[t]
+            dst_w = jnp.where(can, dst, MAXS)  # masked rows land out of range
+            onehot = dst_w[:, :, None] == jnp.arange(MAXS, dtype=I32)[None, None, :]
+            written = jnp.any(onehot, axis=1)                     # (R, MAXS_dst)
+            # gather the source row index t for each destination d
+            tsel = jnp.argmax(onehot, axis=1)                     # (R, MAXS_dst)
+            vals = jnp.take_along_axis(rev, tsel[:, :, None], axis=1)
+            out = jnp.where(written[:, :, None], vals, out)
             st = dict(st)
             st["out"] = out
             st["out_n"] = jnp.where(done_mask, jnp.minimum(n_out + sn, MAXS), n_out)
@@ -369,7 +376,9 @@ def _pass3_kernel(
         ovf = do_push & (st["out_n"] >= MAXS)
         slot = jnp.clip(st["out_n"], 0, MAXS - 1)
         item = jnp.stack([n0, n1, ns, st["x"], st["i"] + 1], axis=1)
-        upd = jnp.zeros((R, MAXS), bool).at[jnp.arange(R), slot].set(do_push & ~ovf)
+        upd = (
+            jnp.arange(MAXS, dtype=I32)[None, :] == slot[:, None]
+        ) & (do_push & ~ovf)[:, None]
         st["out"] = jnp.where(upd[:, :, None], item[:, None, :], st["out"])
         st["out_n"] = jnp.where(do_push & ~ovf, st["out_n"] + 1, st["out_n"])
         st["overflow"] = st["overflow"] | ovf
