@@ -1,0 +1,79 @@
+"""Parity tests for the Pallas TPU kernels against the XLA formulations.
+
+On the CPU test platform the Pallas kernels run in interpret mode; on a
+real TPU the same tests exercise the compiled Mosaic path.  Both must be
+bit-identical to the XLA kernels (which are themselves tested against the
+scalar ksw oracles in test_ops.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from arachne_tpu.config import MemOptions
+from arachne_tpu.ops.sw_extend import clamp_band, extend_batch_kernel
+from arachne_tpu.ops.pallas_extend import extend_batch_pallas
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def _random_problems(seed, B, qmax, tmax, opt):
+    rng = np.random.default_rng(seed)
+    ts = rng.integers(0, 5, (B, tmax)).astype(np.int8)
+    qs = np.full((B, qmax), 4, np.int8)
+    qlens = np.zeros(B, np.int32)
+    tlens = np.zeros(B, np.int32)
+    ws = np.zeros(B, np.int32)
+    h0s = np.zeros(B, np.int32)
+    for i in range(B):
+        ql = int(rng.integers(15, qmax + 1))
+        tl = int(rng.integers(20, tmax + 1))
+        q = ts[i, : ql].copy()
+        nmut = int(rng.integers(0, 10))
+        idx = rng.integers(0, ql, nmut)
+        q[idx] = rng.integers(0, 5, nmut)
+        qs[i, :ql] = q
+        qlens[i] = ql
+        tlens[i] = tl
+        ws[i] = clamp_band(opt, ql, int(rng.integers(5, 120)), opt.pen_clip5, 1)
+        h0s[i] = int(rng.integers(1, 50))
+    return qs, ts, qlens, tlens, ws, h0s
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pallas_extend_matches_xla(seed):
+    opt = MemOptions()
+    B, qmax, tmax = 64, 128, 192
+    qs, ts, qlens, tlens, ws, h0s = _random_problems(seed, B, qmax, tmax, opt)
+    mat = jnp.asarray(opt.scoring_matrix(), jnp.int32)
+    args = [jnp.asarray(x) for x in (qs, ts, qlens, tlens, ws, h0s)]
+    kw = dict(
+        qmax=qmax, tmax=tmax, o_del=opt.o_del, e_del=opt.e_del,
+        o_ins=opt.o_ins, e_ins=opt.e_ins, zdrop=opt.zdrop,
+    )
+    ref = extend_batch_kernel(*args, mat, **kw)
+    got = extend_batch_pallas(
+        *args, a=opt.a, b=opt.b, **kw, b_tile=64, interpret=INTERPRET
+    )
+    for name, r, g in zip(
+        ("score", "qle", "tle", "gtle", "gscore", "max_off"), ref, got
+    ):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g), err_msg=name)
+
+
+def test_pallas_extend_zdrop_disabled():
+    opt = MemOptions(zdrop=0)
+    B, qmax, tmax = 64, 64, 128
+    qs, ts, qlens, tlens, ws, h0s = _random_problems(7, B, qmax, tmax, opt)
+    mat = jnp.asarray(opt.scoring_matrix(), jnp.int32)
+    args = [jnp.asarray(x) for x in (qs, ts, qlens, tlens, ws, h0s)]
+    kw = dict(
+        qmax=qmax, tmax=tmax, o_del=opt.o_del, e_del=opt.e_del,
+        o_ins=opt.o_ins, e_ins=opt.e_ins, zdrop=0,
+    )
+    ref = extend_batch_kernel(*args, mat, **kw)
+    got = extend_batch_pallas(
+        *args, a=opt.a, b=opt.b, **kw, b_tile=64, interpret=INTERPRET
+    )
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
