@@ -143,11 +143,14 @@ class BatchGlobal:
     """Batched bwa-style global alignment returning (score, cigar)."""
 
     def __init__(self, opt: MemOptions, qmax: int = 160, tmax: int = 320):
+        from .sw_extend import _pallas_available
+
         self.opt = opt
         self.qmax = qmax
         self.tmax = tmax
         self.mat = jnp.asarray(opt.scoring_matrix(), jnp.int32)
         self.mat_np = opt.scoring_matrix().astype(np.int64)
+        self.use_pallas = _pallas_available(opt)
         self.reset()
 
     def reset(self):
@@ -185,12 +188,24 @@ class BatchGlobal:
                 qlens[i] = len(q)
                 tlens[i] = len(t)
                 ws[i] = w
-            score, z = global_batch_kernel(
-                jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
-                jnp.asarray(ws), self.mat, qmax, tmax,
-                self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
-                want_z=want_z,
-            )
+            if self.use_pallas:
+                from .pallas_global import global_batch_pallas
+
+                score, z = global_batch_pallas(
+                    jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens),
+                    jnp.asarray(tlens), jnp.asarray(ws),
+                    qmax=qmax, tmax=tmax, a=self.opt.a, b=self.opt.b,
+                    o_del=self.opt.o_del, e_del=self.opt.e_del,
+                    o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
+                    want_z=want_z, b_tile=min(256, Bp),
+                )
+            else:
+                score, z = global_batch_kernel(
+                    jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
+                    jnp.asarray(ws), self.mat, qmax, tmax,
+                    self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
+                    want_z=want_z,
+                )
             scores.append(np.asarray(score)[:nb])
             if want_z:
                 zs.append(np.asarray(z)[:, :, :nb])

@@ -136,11 +136,14 @@ class BatchLocalSW:
     """Batched ksw_align2: forward pass + reverse pass for coordinates."""
 
     def __init__(self, opt: MemOptions, qmax: int = 160, tmax: int = 768):
+        from .sw_extend import _pallas_available
+
         self.opt = opt
         self.qmax = qmax
         self.tmax = tmax
         self.mat = jnp.asarray(opt.scoring_matrix(), jnp.int32)
         self.max_mat = int(opt.scoring_matrix().max())
+        self.use_pallas = _pallas_available(opt)
         self.reset()
 
     def reset(self):
@@ -175,11 +178,23 @@ class BatchLocalSW:
                 ts[i, : len(t)] = t
                 qlens[i] = len(q)
                 tlens[i] = len(t)
-            out = local_sw_batch_kernel(
-                jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
-                jnp.asarray(ends), self.mat, qmax, tmax,
-                self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
-            )
+            if self.use_pallas:
+                from .pallas_local import local_sw_batch_pallas
+
+                out = local_sw_batch_pallas(
+                    jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens),
+                    jnp.asarray(tlens), jnp.asarray(ends),
+                    qmax=qmax, tmax=tmax, a=self.opt.a, b=self.opt.b,
+                    o_del=self.opt.o_del, e_del=self.opt.e_del,
+                    o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
+                    b_tile=min(256, Bp),
+                )
+            else:
+                out = local_sw_batch_kernel(
+                    jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
+                    jnp.asarray(ends), self.mat, qmax, tmax,
+                    self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
+                )
             chunk_outs.append(([np.asarray(o) for o in out], nb))
         merged = []
         for j in range(4):

@@ -61,6 +61,85 @@ def test_pallas_extend_matches_xla(seed):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g), err_msg=name)
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_local_sw_matches_xla(seed):
+    from arachne_tpu.ops.sw_local import local_sw_batch_kernel
+    from arachne_tpu.ops.pallas_local import local_sw_batch_pallas
+
+    opt = MemOptions()
+    rng = np.random.default_rng(seed)
+    B, qmax, tmax = 64, 96, 192
+    ts = rng.integers(0, 5, (B, tmax)).astype(np.int8)
+    qs = np.full((B, qmax), 4, np.int8)
+    qlens = np.zeros(B, np.int32)
+    tlens = np.zeros(B, np.int32)
+    ends = np.full(B, 0x10000, np.int32)
+    for i in range(B):
+        ql = int(rng.integers(15, qmax + 1))
+        tl = int(rng.integers(20, tmax + 1))
+        q = ts[i, 5 : 5 + ql].copy()
+        nm = int(rng.integers(0, 8))
+        idx = rng.integers(0, ql, nm)
+        q[idx] = rng.integers(0, 5, nm)
+        qs[i, :ql] = q
+        qlens[i] = ql
+        tlens[i] = tl
+        if i % 3 == 0:
+            ends[i] = int(rng.integers(10, 60))  # exercise early stop
+    mat = jnp.asarray(opt.scoring_matrix(), jnp.int32)
+    args = [jnp.asarray(x) for x in (qs, ts, qlens, tlens, ends)]
+    ref = local_sw_batch_kernel(
+        *args, mat, qmax, tmax, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins
+    )
+    got = local_sw_batch_pallas(
+        *args, qmax=qmax, tmax=tmax, a=opt.a, b=opt.b,
+        o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins, e_ins=opt.e_ins,
+        b_tile=64, interpret=INTERPRET,
+    )
+    for name, r, g in zip(("gmax", "te", "qe", "row_max"), ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g), err_msg=name)
+
+
+@pytest.mark.parametrize("want_z", [False, True])
+def test_pallas_global_matches_xla(want_z):
+    from arachne_tpu.ops.sw_global import global_batch_kernel
+    from arachne_tpu.ops.pallas_global import global_batch_pallas
+
+    opt = MemOptions()
+    rng = np.random.default_rng(4)
+    B, qmax, tmax = 32, 96, 160
+    ts = rng.integers(0, 5, (B, tmax)).astype(np.int8)
+    qs = np.full((B, qmax), 4, np.int8)
+    qlens = np.ones(B, np.int32)
+    tlens = np.ones(B, np.int32)
+    ws = np.ones(B, np.int32)
+    for i in range(B):
+        ql = int(rng.integers(15, qmax + 1))
+        tl = max(1, min(tmax, ql + int(rng.integers(-10, 11))))
+        q = ts[i, :ql].copy()
+        nm = int(rng.integers(0, 8))
+        idx = rng.integers(0, ql, nm)
+        q[idx] = rng.integers(0, 5, nm)
+        qs[i, :ql] = q
+        qlens[i] = ql
+        tlens[i] = tl
+        ws[i] = int(rng.integers(3, 100))
+    mat = jnp.asarray(opt.scoring_matrix(), jnp.int32)
+    args = [jnp.asarray(x) for x in (qs, ts, qlens, tlens, ws)]
+    ref_s, ref_z = global_batch_kernel(
+        *args, mat, qmax, tmax, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+        want_z=want_z,
+    )
+    got_s, got_z = global_batch_pallas(
+        *args, qmax=qmax, tmax=tmax, a=opt.a, b=opt.b,
+        o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins, e_ins=opt.e_ins,
+        want_z=want_z, b_tile=32, interpret=INTERPRET,
+    )
+    np.testing.assert_array_equal(np.asarray(ref_s), np.asarray(got_s))
+    if want_z:
+        np.testing.assert_array_equal(np.asarray(ref_z), np.asarray(got_z))
+
+
 def test_pallas_extend_zdrop_disabled():
     opt = MemOptions(zdrop=0)
     B, qmax, tmax = 64, 64, 128
