@@ -26,6 +26,23 @@ from .config import ArachneConfig, OutputOptions, RFAOptions
 from .rfa.types import Region
 
 
+def enable_compilation_cache() -> None:
+    """Persist compiled executables across CLI invocations (works with the
+    axon remote compiler too; a cold pallas-kernel warmup measured ~290s,
+    a cached one ~0.4s).  Opt out by setting JAX_COMPILATION_CACHE_DIR=."""
+    if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.expanduser(
+            "~/.cache/arachne_tpu_jax"
+        )
+    cache_dir = os.environ["JAX_COMPILATION_CACHE_DIR"]
+    if not cache_dir:
+        return
+    os.makedirs(cache_dir, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def load_centromeres(path: Optional[str]) -> Dict[str, Region]:
     """loadCentromeres (aligner.go:375-399): TSV rows
     CEN<chr>\t<chr>\t<start>\t<stop>; other rows ignored."""
@@ -261,6 +278,7 @@ def main(argv=None) -> None:
     mg.add_argument("output_dir")
 
     args = parser.parse_args(argv)
+    enable_compilation_cache()
     if args.command == "align":
         run_align(args)
     elif args.command == "index":

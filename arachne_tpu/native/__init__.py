@@ -19,13 +19,18 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+_SOURCES = ["sais.cpp", "smem.cpp"]
+
+
 def _build() -> Optional[str]:
-    src = os.path.join(_DIR, "sais.cpp")
-    if not os.path.exists(src):
+    srcs = [os.path.join(_DIR, s) for s in _SOURCES]
+    srcs = [s for s in srcs if os.path.exists(s)]
+    if not srcs:
         return None
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB_PATH, src],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+             "-o", _LIB_PATH] + srcs,
             check=True,
             capture_output=True,
         )
@@ -58,10 +63,40 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
         ]
         lib.sais_u8_i32.restype = ctypes.c_int
+        try:
+            lib.smem_collect_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32),   # words
+                ctypes.c_int64,                    # n_words
+                ctypes.POINTER(ctypes.c_int64),    # occ
+                ctypes.POINTER(ctypes.c_int64),    # L2
+                ctypes.c_int64,                    # primary
+                ctypes.c_int64,                    # seq_len
+                ctypes.POINTER(ctypes.c_uint8),    # qs
+                ctypes.POINTER(ctypes.c_int32),    # qlens
+                ctypes.c_int32,                    # n_reads
+                ctypes.c_int32,                    # L
+                ctypes.c_int32,                    # min_seed_len
+                ctypes.c_int32,                    # split_len
+                ctypes.c_int32,                    # split_width
+                ctypes.c_int64,                    # max_mem_intv
+                ctypes.POINTER(ctypes.c_int64),    # out
+                ctypes.POINTER(ctypes.c_int32),    # out_n
+                ctypes.POINTER(ctypes.c_uint8),    # overflow
+                ctypes.c_int32,                    # MAXS
+                ctypes.c_int32,                    # n_threads
+            ]
+            lib.smem_collect_batch.restype = ctypes.c_int
+        except AttributeError:
+            pass  # stale .so without smem support; sais still usable
         _lib = lib
     except Exception:
         _lib = None
     return _lib
+
+
+def smem_available() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "smem_collect_batch")
 
 
 def sais_available() -> bool:

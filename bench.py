@@ -25,7 +25,10 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from arachne_tpu.align import ksw
+from arachne_tpu.cli import enable_compilation_cache
 from arachne_tpu.config import MemOptions
+
+enable_compilation_cache()
 from arachne_tpu.ops.sw_extend import BatchExtender, clamp_band, extend_batch_kernel
 
 import jax
