@@ -86,14 +86,33 @@ def load_or_build_index(reference: str, keep_full_sa: bool = True):
     return FMIndex(packed, fm)
 
 
+def resolve_engine(requested: str) -> str:
+    """'auto' picks the batched device engine when an accelerator backend is
+    present (including the axon tunnel), the scalar oracle on cpu-only hosts
+    where jit compile latency dominates tiny runs."""
+    if requested != "auto":
+        return requested
+    if os.environ.get("JAX_PLATFORMS", "") == "axon":
+        return "tpu"
+    try:
+        import jax
+
+        platform = jax.devices()[0].platform
+    except Exception:
+        return "oracle"
+    return "tpu" if platform != "cpu" else "oracle"
+
+
 def run_align(args) -> None:
     """The Arachne() pipeline (aligner.go:269-373)."""
+    from .config import PipelineOptions
     from .io.bam import BAMWriters
     from .io.fastq import iter_barcode_sets
     from .rfa.engine import do_rfa_for_one_barcode
     from .runtime.stats import RunStats
 
     print(f"Starting arachne-tpu. Version: {__version__}")
+    engine_kind = resolve_engine(args.engine)
     cfg = ArachneConfig(
         rfa=RFAOptions(improper_pair_penalty=args.improper_pair_penalty),
         output=OutputOptions(
@@ -102,6 +121,9 @@ def run_align(args) -> None:
             sample_id=args.sample_id,
             debug_tags=args.debug_tags,
             emit_sam=args.sam,
+        ),
+        pipeline=PipelineOptions(
+            engine=engine_kind, num_workers=max(1, args.threads)
         ),
         centromeres=args.centromeres,
         threads=args.threads,
@@ -119,9 +141,12 @@ def run_align(args) -> None:
     stream = CheckpointedStream(args.r1, args.r2, args.checkpoint or None)
     suffix = f".gen{stream.generation}" if stream.generation > 0 else ""
     bams = BAMWriters(idx, args.output, cfg, version=__version__, shard_suffix=suffix)
+    # durability: BGZF/file buffers must hit the OS before a checkpoint
+    # manifest can claim their records as emitted
+    stream.flush_fn = bams.flush
     stats = RunStats()
     engine = None
-    if args.engine == "tpu":
+    if engine_kind == "tpu":
         from .ops.engine import TpuEngine
 
         engine = TpuEngine(idx, cfg)
@@ -229,7 +254,10 @@ def main(argv=None) -> None:
     al.add_argument("-t", "--threads", type=int, default=2)
     al.add_argument("--sam", action="store_true", help="emit SAM text instead of BAM")
     al.add_argument("--debug-tags", action="store_true")
-    al.add_argument("--engine", choices=["oracle", "tpu"], default="oracle")
+    al.add_argument(
+        "--engine", choices=["auto", "oracle", "tpu"], default="auto",
+        help="auto = batched device engine on accelerators, oracle on cpu",
+    )
     al.add_argument("--checkpoint", default="", help="checkpoint manifest path for resume")
     al.add_argument("--stats-json", default="", help="write run statistics JSON here")
     al.add_argument("--profile-dir", default="", help="capture a jax profiler trace here")

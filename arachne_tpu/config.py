@@ -147,11 +147,8 @@ class PipelineOptions:
     """Batching/execution options for the TPU pipeline."""
 
     engine: str = "auto"          # "oracle" (scalar host), "tpu" (batched), "auto"
-    reads_per_batch: int = 4096   # device batch of reads for seeding/extension
-    max_read_len: int = 160       # padded read length
-    extend_batch: int = 2048      # seed-extension problems per device step
-    bucket_sizes: tuple = (16, 64, 256, 1024, 4096, 30208)  # barcode size classes
-    num_workers: int = 2          # host worker threads
+    reads_per_batch: int = 4096   # read pairs per superbatch (device dispatch unit)
+    num_workers: int = 2          # host worker threads (-t/--threads)
     checkpoint_path: Optional[str] = None
 
 

@@ -93,6 +93,7 @@ class BAMWriter:
     def __init__(self, path: str, header_text: str, contigs: List[Tuple[str, int]], emit_sam: bool):
         self.path = path
         self.contig_index = {name: i for i, (name, _) in enumerate(contigs)}
+        self.contig_names = [name for name, _ in contigs]
         self.emit_sam = emit_sam
         if emit_sam:
             self.fh: IO = open(path, "w")
@@ -125,20 +126,11 @@ class BAMWriter:
         aux: bytes,
     ) -> None:
         if self.emit_sam:
-            rname = "*"
-            for n, i in self.contig_index.items():
-                if i == rid:
-                    rname = n
-                    break
+            rname = self.contig_names[rid] if 0 <= rid < len(self.contig_names) else "*"
             cig = "".join(f"{l}{CIGAR_CHARS[op]}" for op, l in cigar_bam) or "*"
             mname = "*"
             if mate_rid >= 0:
-                mname = "="
-                if mate_rid != rid:
-                    for n, i in self.contig_index.items():
-                        if i == mate_rid:
-                            mname = n
-                            break
+                mname = "=" if mate_rid == rid else self.contig_names[mate_rid]
             tags = _aux_to_sam(aux)
             self.fh.write(
                 f"{name}\t{flags}\t{rname}\t{pos + 1}\t{mapq}\t{cig}\t{mname}\t"
@@ -180,6 +172,12 @@ class BAMWriter:
         rec += bytes(min(q, 93) for q in qual) if qual else b"\xff" * lseq
         rec += aux
         self.w.write(struct.pack("<i", len(rec)) + rec)
+
+    def flush(self) -> None:
+        if self.w is not None:
+            self.w.flush()
+        else:
+            self.fh.flush()
 
     def close(self):
         if self.w is not None:
@@ -290,6 +288,12 @@ class BAMWriters:
                     read_output = True
             if not read_output:
                 raise AssertionError("read_id has no active alignment")
+
+    def flush(self) -> None:
+        """Push all buffered records to the OS (BGZF block flush + file
+        flush) so a checkpoint manifest can safely claim them as emitted."""
+        for w in self._all_files:
+            w.flush()
 
     def close(self):
         for w in self._all_files:

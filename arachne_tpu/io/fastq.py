@@ -32,6 +32,10 @@ BX_RE = re.compile(rb"BX:Z:(\S+)\s")
 VX_RE = re.compile(rb"VX:i:([01])\s")
 
 
+class TruncatedFastQError(ValueError):
+    """Raised on truncated or malformed FASTQ input mid-stream."""
+
+
 def open_maybe_gzip(path: str) -> IO[bytes]:
     """zipread.go: prefer the system gunzip subprocess for throughput."""
     if path.endswith(".gz"):
@@ -86,13 +90,22 @@ class FastQReader:
                 pass
 
     def read_one(self) -> Optional[FastQRecordView]:
-        """ReadOneLine (reader.go:128-190), with the intended 4-line parse."""
+        """ReadOneLine (reader.go:128-190), with the intended 4-line parse.
+
+        Truncated/malformed records raise instead of masquerading as EOF
+        (the reference logged malformed input, reader.go:156-157; silently
+        dropping the tail of a run is worse than either)."""
         while True:
             self.line += 1
             h1 = self.r1.readline()
             h2 = self.r2.readline()
-            if not h1 or not h2:
+            if not h1 and not h2:
                 return None
+            if not h1 or not h2:
+                raise TruncatedFastQError(
+                    f"paired FASTQ length mismatch at record line ~{self.line}: "
+                    f"{'R1' if not h1 else 'R2'} ended first"
+                )
             if h1.startswith(b"@"):
                 break
         read_info, barcode, valid = parse_header(h1[1:])
@@ -103,7 +116,15 @@ class FastQReader:
         plus2 = self.r2.readline()
         q2 = self.r2.readline().rstrip(b"\n")
         if not q1 or not q2:
-            return None
+            raise TruncatedFastQError(
+                f"truncated FASTQ record '{read_info}' near line {self.line}: "
+                f"{'R1' if not q1 else 'R2'} record is incomplete"
+            )
+        if len(s1) != len(q1) or len(s2) != len(q2):
+            raise TruncatedFastQError(
+                f"malformed FASTQ record '{read_info}' near line {self.line}: "
+                "sequence/quality length mismatch"
+            )
         return FastQRecordView(
             read1=s1,
             qual1=q1,

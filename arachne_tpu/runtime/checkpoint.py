@@ -65,9 +65,14 @@ class CheckpointedStream:
         r2: str,
         ckpt_path: Optional[str],
         save_every: int = 50,
+        flush_fn=None,
     ):
         self.ckpt_path = ckpt_path
         self.save_every = save_every
+        # called before each manifest save so output buffers (BGZF blocks,
+        # file buffers) are durably on disk before the manifest claims their
+        # barcode sets as emitted
+        self.flush_fn = flush_fn
         self.ckpt = Checkpoint(r1=r1, r2=r2)
         self.skip = 0
         if ckpt_path:
@@ -93,14 +98,20 @@ class CheckpointedStream:
             yield records, unique
 
     def mark_done(self, n_sets: int, n_reads: int) -> None:
-        """Call after the output for n_sets barcode sets is durably written."""
+        """Call after the output for n_sets barcode sets has been handed to
+        the writers; buffers are flushed before any manifest save so the
+        manifest never claims records that are not on disk."""
         self.ckpt.barcode_sets_done += n_sets
         self.ckpt.reads_done += n_reads
         self._since_save += n_sets
         if self.ckpt_path and self._since_save >= self.save_every:
+            if self.flush_fn is not None:
+                self.flush_fn()
             self.ckpt.save(self.ckpt_path)
             self._since_save = 0
 
     def finish(self) -> None:
         if self.ckpt_path:
+            if self.flush_fn is not None:
+                self.flush_fn()
             self.ckpt.save(self.ckpt_path)

@@ -111,6 +111,54 @@ class TestStandardize:
         assert "BX:Z:12_34_56" in hdr and "VX:i:1" in hdr
 
 
+class TestTruncatedInput:
+    """Corrupt input must raise loudly, not masquerade as clean EOF
+    (reference logged malformed input, reader.go:156-157)."""
+
+    def test_truncated_record_raises(self, tmp_path):
+        from arachne_tpu.io.fastq import TruncatedFastQError
+
+        r1 = str(tmp_path / "t.R1.fq")
+        r2 = str(tmp_path / "t.R2.fq")
+        good = "@a/1\tBX:Z:AAA\tVX:i:1\nACGT\n+\nIIII\n"
+        with open(r1, "w") as fh:
+            fh.write(good + "@b/1\tBX:Z:AAA\tVX:i:1\nACGT\n")  # cut mid-record
+        with open(r2, "w") as fh:
+            fh.write(good + "@b/2\tBX:Z:AAA\tVX:i:1\nACGT\n+\nIIII\n")
+        reader = FastQReader(r1, r2)
+        assert reader.read_one() is not None
+        with pytest.raises(TruncatedFastQError):
+            reader.read_one()
+
+    def test_r2_shorter_raises(self, tmp_path):
+        from arachne_tpu.io.fastq import TruncatedFastQError
+
+        good = "@a/1\tBX:Z:AAA\tVX:i:1\nACGT\n+\nIIII\n"
+        r1 = str(tmp_path / "m.R1.fq")
+        r2 = str(tmp_path / "m.R2.fq")
+        with open(r1, "w") as fh:
+            fh.write(good * 2)
+        with open(r2, "w") as fh:
+            fh.write(good)
+        reader = FastQReader(r1, r2)
+        assert reader.read_one() is not None
+        with pytest.raises(TruncatedFastQError):
+            reader.read_one()
+
+    def test_seq_qual_mismatch_raises(self, tmp_path):
+        from arachne_tpu.io.fastq import TruncatedFastQError
+
+        bad = "@a/1\tBX:Z:AAA\tVX:i:1\nACGTACGT\n+\nIII\n"
+        r1 = str(tmp_path / "q.R1.fq")
+        r2 = str(tmp_path / "q.R2.fq")
+        for p in (r1, r2):
+            with open(p, "w") as fh:
+                fh.write(bad)
+        reader = FastQReader(r1, r2)
+        with pytest.raises(TruncatedFastQError):
+            reader.read_one()
+
+
 class TestBarcodeSort:
     def test_sorts_by_barcode(self, tmp_path):
         entries = [
@@ -152,6 +200,56 @@ class TestCheckpointResume:
         assert s2.generation == 1
         rest = [recs[0].barcode for recs, _ in s2]
         assert rest == [b"B3", b"B4"]
+
+
+class TestCheckpointDurability:
+    def test_flush_precedes_manifest_save(self, tmp_path):
+        """Crash-resume: every barcode set the manifest claims must be on
+        disk (flush before save), and resume skips exactly those — no lost
+        and no duplicated records across generations."""
+        from arachne_tpu.runtime.checkpoint import CheckpointedStream
+
+        entries = []
+        barcodes = ["B1", "B2", "B3", "B4", "B5"]
+        for bc in barcodes:
+            entries.append((f"@{bc}_0/1\tBX:Z:{bc}\tVX:i:1", "ACGT" * 8, "I" * 32))
+        r1, r2 = write_pair(tmp_path, "dur", entries)
+        ck = str(tmp_path / "ck.json")
+        out = tmp_path / "emitted.txt"
+
+        class BufferedSink:
+            """Stand-in for the BAM writers: buffers until flushed."""
+
+            def __init__(self):
+                self.fh = open(out, "a")
+
+            def emit(self, bc):
+                self.fh.write(bc.decode() + "\n")
+
+            def flush(self):
+                self.fh.flush()
+
+        sink = BufferedSink()
+        s1 = CheckpointedStream(r1, r2, ck, save_every=1, flush_fn=sink.flush)
+        it = iter(s1)
+        for _ in range(3):
+            recs, _ = next(it)
+            sink.emit(recs[0].barcode)
+            s1.mark_done(1, len(recs))
+        # simulate crash: no close(), buffers for anything unflushed are lost
+        del it, s1
+
+        durable = out.read_text().split()
+        assert durable == ["B1", "B2", "B3"]  # flushed before each save
+
+        s2 = CheckpointedStream(r1, r2, ck)
+        assert s2.skip == 3
+        sink2 = BufferedSink()
+        for recs, _ in s2:
+            sink2.emit(recs[0].barcode)
+        sink2.flush()
+        s2.finish()
+        assert sorted(out.read_text().split()) == barcodes  # union, no dups
 
 
 class TestAccuracy:
