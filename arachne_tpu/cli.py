@@ -160,8 +160,11 @@ def run_align(args) -> None:
         jax.profiler.start_trace(args.profile_dir)
         profiling = True
 
+    from .runtime.timers import TIMERS
+
     def emit(res, n_records, unique):
-        bams.dump(res.alignments, res.attach_bx)
+        with TIMERS.stage("io.write"):
+            bams.dump(res.alignments, res.attach_bx)
         stats.note_barcode(res)
         stream.mark_done(1, n_records)
         if n_records > 2:
@@ -230,8 +233,13 @@ def run_align(args) -> None:
     if args.stats_json:
         import json
 
+        d = stats.as_dict()
+        d["stage_times"] = TIMERS.as_dict()
         with open(args.stats_json, "w") as fh:
-            json.dump(stats.as_dict(), fh, indent=2)
+            json.dump(d, fh, indent=2)
+    if os.environ.get("ARACHNE_TIMERS"):
+        print("--- stage times ---")
+        print(TIMERS.summary())
     print(
         f"Arachne completed successfully: {stats.reads} read pairs, "
         f"{stats.barcodes} barcodes, {stats.reads / max(dt, 1e-9):.1f} pairs/s"

@@ -101,39 +101,44 @@ def batch_align_single(
     if extender_batch is None:
         extender_batch = BatchExtender(opt)
 
+    from ..runtime.timers import TIMERS
+
     if dfm is not None:
         from .fm_seed import collect_seeds_device
 
-        all_mems = collect_seeds_device(idx, reads, opt, dfm=dfm)
+        with TIMERS.stage("seed.device"):
+            all_mems = collect_seeds_device(idx, reads, opt, dfm=dfm)
     else:
         from ..align.smem_dense import collect_seeds_dense
 
-        all_mems = collect_seeds_dense(idx, reads, opt)
+        with TIMERS.stage("seed.host"):
+            all_mems = collect_seeds_dense(idx, reads, opt)
     per_read_chains: List[List[Chain]] = []
     seed_probs: List[_SeedProblems] = []
-    for codes, mems in zip(reads, all_mems):
-        chains = mem_chain(idx, codes, opt, mems=mems)
-        chains = chain_filter(opt, chains)
-        filter_chained_seeds(idx, codes, chains, opt)
-        per_read_chains.append(chains)
-        l_query = len(codes)
-        for c in chains:
-            if not c.seeds:
-                continue
-            rseq, rmax0 = _chain_window(idx, codes, c, opt)
-            for s in c.seeds:
-                sp = _SeedProblems()
-                sp.h0 = s.len * opt.a
-                if s.qbeg:
-                    qs = codes[: s.qbeg][::-1].copy()
-                    rs = rseq[: s.rbeg - rmax0][::-1].copy()
-                    sp.left = (qs, rs)
-                if s.qbeg + s.len != l_query:
-                    sp.right_parts = (
-                        codes[s.qbeg + s.len :],
-                        rseq[s.rbeg + s.len - rmax0 :],
-                    )
-                seed_probs.append(sp)
+    with TIMERS.stage("chain.host"):
+        for codes, mems in zip(reads, all_mems):
+            chains = mem_chain(idx, codes, opt, mems=mems)
+            chains = chain_filter(opt, chains)
+            filter_chained_seeds(idx, codes, chains, opt)
+            per_read_chains.append(chains)
+            l_query = len(codes)
+            for c in chains:
+                if not c.seeds:
+                    continue
+                rseq, rmax0 = _chain_window(idx, codes, c, opt)
+                for s in c.seeds:
+                    sp = _SeedProblems()
+                    sp.h0 = s.len * opt.a
+                    if s.qbeg:
+                        qs = codes[: s.qbeg][::-1].copy()
+                        rs = rseq[: s.rbeg - rmax0][::-1].copy()
+                        sp.left = (qs, rs)
+                    if s.qbeg + s.len != l_query:
+                        sp.right_parts = (
+                            codes[s.qbeg + s.len :],
+                            rseq[s.rbeg + s.len - rmax0 :],
+                        )
+                    seed_probs.append(sp)
 
     cache: Dict[Tuple, Tuple] = {}
 
@@ -147,7 +152,9 @@ def batch_align_single(
     if wave1:
         for p in wave1:
             extender_batch.submit(*p)
-        for p, res in zip(wave1, extender_batch.run()):
+        with TIMERS.stage("extend.device"):
+            wave1_out = extender_batch.run()
+        for p, res in zip(wave1, wave1_out):
             cache[_problem_key(*p)] = res
 
     # wave 2: right extensions with sc0 from wave 1
@@ -170,7 +177,9 @@ def batch_align_single(
     if wave2:
         for p in wave2:
             extender_batch.submit(*p)
-        for p, res in zip(wave2, extender_batch.run()):
+        with TIMERS.stage("extend.device"):
+            wave2_out = extender_batch.run()
+        for p, res in zip(wave2, wave2_out):
             cache[_problem_key(*p)] = res
 
     misses = [0]
@@ -191,12 +200,13 @@ def batch_align_single(
         return res
 
     out: List[List[AlnReg]] = []
-    for codes, chains in zip(reads, per_read_chains):
-        regs: List[AlnReg] = []
-        for c in chains:
-            chain2aln(idx, codes, c, opt, regs, extender=lookup_extender, mat=mat)
-        regs = sort_dedup_patch(opt, regs, idx, codes, mat)
-        out.append(regs)
+    with TIMERS.stage("extend.replay"):
+        for codes, chains in zip(reads, per_read_chains):
+            regs: List[AlnReg] = []
+            for c in chains:
+                chain2aln(idx, codes, c, opt, regs, extender=lookup_extender, mat=mat)
+            regs = sort_dedup_patch(opt, regs, idx, codes, mat)
+            out.append(regs)
     return out
 
 

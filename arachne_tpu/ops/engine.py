@@ -88,9 +88,12 @@ class TpuEngine:
         best1 = [max((r.score for r in rs), default=0) for rs in regs1]
         best2 = [max((r.score for r in rs), default=0) for rs in regs2]
         delta = self.cfg.rfa.chain_score_delta
+        from ..runtime.timers import TIMERS
+
         # rescue read1 around read2's hits, then read2 around read1's
-        self._rescue_wave(pairs, regs2, regs1, best2, side=0, score_delta=delta)
-        self._rescue_wave(pairs, regs1, regs2, best1, side=1, score_delta=delta)
+        with TIMERS.stage("rescue"):
+            self._rescue_wave(pairs, regs2, regs1, best2, side=0, score_delta=delta)
+            self._rescue_wave(pairs, regs1, regs2, best1, side=1, score_delta=delta)
         out = []
         for i in range(len(pairs)):
             out.append(
@@ -137,9 +140,12 @@ class TpuEngine:
                     # skip[] all satisfied -> attempt costs nothing, continue
             if not batch_jobs:
                 break
+            from ..runtime.timers import TIMERS
+
             for pi, a, seq, rb, ref in batch_jobs:
                 self.local.submit(seq, ref, opt.min_seed_len * opt.a)
-            results = self.local.run_align2()
+            with TIMERS.stage("rescue.device"):
+                results = self.local.run_align2()
             for (pi, a, seq, rb, ref), aln in zip(batch_jobs, results):
                 mate_seq = pairs[pi][side]
                 l_ms = len(mate_seq)
@@ -264,10 +270,13 @@ class TpuEngine:
                 else:
                     dp_jobs.append(j)
             if dp_jobs:
+                from ..runtime.timers import TIMERS
+
                 for j in dp_jobs:
                     _, q2, rs2, w_eff = j.prep
                     self.global_.submit(q2, rs2, w_eff)
-                results = self.global_.run()
+                with TIMERS.stage("cigar.device"):
+                    results = self.global_.run()
                 for j, (sc, cig) in zip(dp_jobs, results):
                     _, q2, rs2, w_eff = j.prep
                     j.score, j.cigar, j.nm, j.md = gen_cigar_finish(

@@ -157,6 +157,7 @@ def process_barcodes(
     barcodes; per-barcode output is identical to do_rfa_for_one_barcode.
     """
     from ..align.pipeline import seq_to_codes
+    from ..runtime.timers import TIMERS
 
     all_pairs = []
     spans = []
@@ -168,9 +169,10 @@ def process_barcodes(
     pair_results = engine.align_pairs(all_pairs) if all_pairs else []
 
     chain_sets = []
-    for (reads, unique), (a, b) in zip(barcode_sets, spans):
-        chains, bc = get_chains(idx, cfg, reads, pair_results=pair_results[a:b])
-        chain_sets.append((chains, bc))
+    with TIMERS.stage("chains.replay"):
+        for (reads, unique), (a, b) in zip(barcode_sets, spans):
+            chains, bc = get_chains(idx, cfg, reads, pair_results=pair_results[a:b])
+            chain_sets.append((chains, bc))
 
     # one reg2aln batch across every hit of every barcode
     jobs = []
@@ -181,16 +183,18 @@ def process_barcodes(
                 if ch.easy is not None:
                     jobs.append((seq_to_codes(ch.read), ch.easy.reg))
                     keys.append(id(ch))
-    mem_cache = dict(zip(keys, engine.reg2aln_batch(jobs))) if jobs else {}
+    with TIMERS.stage("cigar"):
+        mem_cache = dict(zip(keys, engine.reg2aln_batch(jobs))) if jobs else {}
 
     results = []
-    for (reads, unique), (chains, bc) in zip(barcode_sets, chain_sets):
-        alignments, stashed = get_alignments(
-            idx, cfg, chains, mem_cache=mem_cache
-        )
-        results.append(
-            _finish_barcode(
-                idx, cfg, reads, unique, alignments, stashed, bc, centromeres
+    with TIMERS.stage("rfa.host"):
+        for (reads, unique), (chains, bc) in zip(barcode_sets, chain_sets):
+            alignments, stashed = get_alignments(
+                idx, cfg, chains, mem_cache=mem_cache
             )
-        )
+            results.append(
+                _finish_barcode(
+                    idx, cfg, reads, unique, alignments, stashed, bc, centromeres
+                )
+            )
     return results
