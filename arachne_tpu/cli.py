@@ -150,6 +150,7 @@ def run_align(args) -> None:
         from .ops.engine import TpuEngine
 
         engine = TpuEngine(idx, cfg)
+        engine.warmup()
     if stream.skip:
         print(f"Resuming: skipping {stream.skip} completed barcode sets")
     t0 = time.time()
@@ -244,6 +245,7 @@ def run_align(args) -> None:
         f"Arachne completed successfully: {stats.reads} read pairs, "
         f"{stats.barcodes} barcodes, {stats.reads / max(dt, 1e-9):.1f} pairs/s"
     )
+    return stats
 
 
 def main(argv=None) -> None:

@@ -274,7 +274,14 @@ class BatchExtender:
         for c0 in range(0, B, self.CHUNK):
             c1 = min(c0 + self.CHUNK, B)
             nb = c1 - c0
-            Bp = self.CHUNK if B > self.CHUNK else pad_batch(nb)
+            # pallas/TPU: always pad to CHUNK — every distinct batch shape
+            # is a separate executable, and through the axon tunnel the
+            # first execution of an executable costs seconds-to-minutes;
+            # a full-size batch runs in ~40ms so padding waste is noise.
+            if self.use_pallas:
+                Bp = self.CHUNK
+            else:
+                Bp = self.CHUNK if B > self.CHUNK else pad_batch(nb)
             qs = np.full((Bp, qmax), 4, np.int8)
             ts = np.full((Bp, tmax), 4, np.int8)
             qlens = np.ones(Bp, np.int32)

@@ -175,7 +175,11 @@ class BatchGlobal:
         for c0 in range(0, B, chunk):
             c1 = min(c0 + chunk, B)
             nb = c1 - c0
-            Bp = chunk if B > chunk else pad_batch(nb, 32)
+            # pallas/TPU: fixed batch shape (see sw_extend.run)
+            if self.use_pallas:
+                Bp = chunk
+            else:
+                Bp = chunk if B > chunk else pad_batch(nb, 32)
             qs = np.full((Bp, qmax), 4, np.int8)
             ts = np.full((Bp, tmax), 4, np.int8)
             qlens = np.ones(Bp, np.int32)
@@ -198,7 +202,7 @@ class BatchGlobal:
                     o_del=self.opt.o_del, e_del=self.opt.e_del,
                     o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
                     want_z=want_z, b_tile=min(256, Bp),
-                )
+                )  # b_tile: Bp is fixed per chunk kind, so shape is stable
             else:
                 score, z = global_batch_kernel(
                     jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),

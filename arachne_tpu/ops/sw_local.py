@@ -165,7 +165,11 @@ class BatchLocalSW:
         for c0 in range(0, B, self.CHUNK):
             c1 = min(c0 + self.CHUNK, B)
             nb = c1 - c0
-            Bp = self.CHUNK if B > self.CHUNK else pad_batch(nb, 32)
+            # pallas/TPU: fixed batch shape (see sw_extend.run)
+            if self.use_pallas:
+                Bp = self.CHUNK
+            else:
+                Bp = self.CHUNK if B > self.CHUNK else pad_batch(nb, 32)
             qs = np.full((Bp, qmax), 4, np.int8)
             ts = np.full((Bp, tmax), 4, np.int8)
             qlens = np.ones(Bp, np.int32)
@@ -187,7 +191,7 @@ class BatchLocalSW:
                     qmax=qmax, tmax=tmax, a=self.opt.a, b=self.opt.b,
                     o_del=self.opt.o_del, e_del=self.opt.e_del,
                     o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
-                    b_tile=min(256, Bp),
+                    b_tile=256,
                 )
             else:
                 out = local_sw_batch_kernel(

@@ -1,19 +1,26 @@
-"""Benchmark: batched seed-extension DP throughput on the accelerator.
+"""Benchmarks: kernel GCUPS + end-to-end aligner throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric ({"metric", "value", "unit",
+"vs_baseline"}); the LAST line is the headline product metric —
+**end-to-end pairs/s/chip** on a BASELINE-config-2-shaped run
+(simulate -> index -> full barcode-joint RFA align with the TPU engine),
+with a per-stage wall-time breakdown in "detail".  vs_baseline for it is
+the round-1 steady state (163 pairs/s, the number VERDICT.md says to
+beat).
 
-Metric: DP GCUPS (banded Smith-Waterman extension cell updates per second)
-of the batched TPU kernel — the hot inner loop of the aligner (SURVEY.md
-3.5; the reference's equivalent is single-thread SSE2 ksw_extend2/ksw_u8 at
-~1 GCUPS).  vs_baseline compares against this repo's exact scalar oracle
-(the reference-semantics implementation) measured on the same host,
-cell-for-cell on the same problem set.
+The first line is DP GCUPS (banded Smith-Waterman extension cell updates
+per second) of the batched TPU kernel — the hot inner loop (SURVEY.md
+3.5; the reference's equivalent is single-thread SSE2 ksw_extend2/ksw_u8
+at ~1 GCUPS); its vs_baseline compares against this repo's exact scalar
+oracle measured on the same host, cell-for-cell on the same problem set.
 
 Timing methodology: through the axon tunnel, dispatch is asynchronous and
 `block_until_ready` does not wait for remote completion, so each timed
 execution is forced to completion by fetching its (tiny) result arrays;
 the per-execution time is the slope between k=1 and k=4 chained
-executions, which cancels the fixed tunnel round-trip latency.
+executions, which cancels the fixed tunnel round-trip latency.  The
+end-to-end run absorbs first-execution/remote-load variance in an
+explicit warmup (TpuEngine.warmup) before its timer starts.
 """
 
 import json
@@ -60,6 +67,90 @@ def timed(fn, ks=(1, 4)):
             np.asarray(out[0])
             times[k] = time.perf_counter() - t0
     return (times[ks[1]] - times[ks[0]]) / (ks[1] - ks[0])
+
+
+ROUND1_PAIRS_PER_SEC = 163.0  # steady state recorded in round 1 (VERDICT.md)
+
+
+def _bench_fixture(cache: str):
+    """2 Mbp reference + 80-barcode/4800-pair simulated linked reads,
+    cached across bench runs (the index build is deterministic)."""
+    import gzip
+    import os
+
+    os.makedirs(cache, exist_ok=True)
+    ref = os.path.join(cache, "bench_ref.fa")
+    r1 = os.path.join(cache, "bench.R1.fq.gz")
+    r2 = os.path.join(cache, "bench.R2.fq.gz")
+    if not os.path.exists(ref):
+        rng = np.random.default_rng(20260820)
+        seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 2_000_000))
+        with open(ref, "w") as fh:
+            fh.write(">chr_bench\n")
+            for i in range(0, len(seq), 70):
+                fh.write(seq[i : i + 70] + "\n")
+    if not os.path.exists(ref + ".arx.npz"):
+        from arachne_tpu.index import build_index_files
+
+        build_index_files(ref)
+    if not (os.path.exists(r1) and os.path.exists(r2)):
+        from arachne_tpu.index import parse_fasta
+        from arachne_tpu.io.simulate import SimConfig, simulate_linked_reads
+
+        simulate_linked_reads(
+            parse_fasta(ref), r1, r2,
+            SimConfig(
+                n_barcodes=80, molecules_per_barcode=3, pairs_per_molecule=20,
+                seed=7,
+            ),
+        )
+    return ref, r1, r2
+
+
+def bench_end_to_end():
+    """Full-pipeline pairs/s with the TPU engine; returns the JSON record."""
+    import argparse
+    import os
+    import shutil
+    import tempfile
+
+    from arachne_tpu.cli import run_align
+    from arachne_tpu.runtime.timers import TIMERS
+
+    cache = os.path.expanduser("~/.cache/arachne_bench")
+    ref, r1, r2 = _bench_fixture(cache)
+    out = tempfile.mkdtemp(prefix="arachne_bench_out_")
+    TIMERS.reset()
+    try:
+        args = argparse.Namespace(
+            centromeres="", improper_pair_penalty=-4.0, partitions=40_000_000,
+            read_group="sample:library:molecule:flowcell:lane",
+            sample_id="sample", threads=2, sam=True, debug_tags=False,
+            engine="tpu", checkpoint="", stats_json="", profile_dir="",
+            output=out, reference=ref, r1=r1, r2=r2,
+        )
+        stats = run_align(args)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    stage = TIMERS.as_dict()
+    warm = stage.pop("warmup", {"seconds": 0.0})["seconds"]
+    pps = stats.reads / max(stats.elapsed, 1e-9)
+    return {
+        "metric": "end_to_end_pairs_per_sec",
+        "value": round(pps, 1),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(pps / ROUND1_PAIRS_PER_SEC, 2),
+        "detail": {
+            "pairs": stats.reads,
+            "barcodes": stats.barcodes,
+            "elapsed_s": round(stats.elapsed, 2),
+            "warmup_s_excluded": round(warm, 2),
+            "engine": "tpu",
+            "device": str(jax.devices()[0]),
+            "baseline": "round-1 steady state 163 pairs/s (VERDICT.md)",
+            "stage_seconds": {k: v["seconds"] for k, v in stage.items()},
+        },
+    }
 
 
 def main():
@@ -136,7 +227,12 @@ def main():
             "baseline_gcups_scalar_oracle": round(base_gcups, 4),
         },
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+    # headline product metric LAST (the driver parses the final JSON line)
+    e2e = bench_end_to_end()
+    e2e["detail"]["kernel_gcups"] = result["value"]
+    print(json.dumps(e2e), flush=True)
 
 
 if __name__ == "__main__":

@@ -117,3 +117,36 @@ class TestDenseSeeding:
         got = collect_seeds_dense(idx, reads, OPT)
         for i, (r, g) in enumerate(zip(reads, got)):
             assert same_smems(g, collect_seeds(idx, r, OPT)), i
+
+
+class TestNativeSeeding:
+    """The C++ collector (the production host seeding engine) must match
+    the scalar collector read-for-read."""
+
+    def test_random_mutated_n_and_edge_reads(self, ref, rng):
+        from arachne_tpu.align.smem_native import (
+            collect_seeds_native,
+            smem_available,
+        )
+
+        if not smem_available():
+            pytest.skip("native smem library unavailable")
+        idx, fwd = ref
+        reads = []
+        for _ in range(40):
+            pos = int(rng.integers(0, len(fwd) - 160))
+            r = fwd[pos : pos + 140].copy()
+            for _ in range(int(rng.integers(0, 7))):
+                j = int(rng.integers(0, 140))
+                r[j] = (r[j] + 1) % 4
+            if rng.integers(0, 3) == 0:
+                r[int(rng.integers(0, 140))] = 4
+            reads.append(r)
+        # repeat-region reads exercise the pass-2 re-seed path
+        reads += [fwd[400 + 30 * i : 400 + 30 * i + 100].copy() for i in range(8)]
+        reads.append(np.full(30, 4, dtype=np.uint8))  # all-N
+        reads.append(fwd[:19].copy())                 # min length
+        reads.append(fwd[-40:].copy())                # genome end
+        got = collect_seeds_native(idx, reads, OPT)
+        for i, (r, g) in enumerate(zip(reads, got)):
+            assert same_smems(g, collect_seeds(idx, r, OPT)), i
