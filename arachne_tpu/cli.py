@@ -112,6 +112,22 @@ def run_align(args) -> None:
     from .runtime.stats import RunStats
 
     print(f"Starting arachne-tpu. Version: {__version__}")
+    # multi-host: must run before the first backend touch (resolve_engine
+    # calls jax.devices); forms the process group, one process per host
+    from .parallel.distributed import (
+        allreduce_stats,
+        init_distributed,
+        shard_suffix,
+    )
+
+    ctx = init_distributed(
+        getattr(args, "coordinator", None) or None,
+        getattr(args, "num_processes", None),
+        getattr(args, "process_id", None),
+    )
+    host_sfx = shard_suffix(ctx)
+    if ctx.initialized:
+        print(f"Multi-host: process {ctx.process_index}/{ctx.process_count}")
     engine_kind = resolve_engine(args.engine)
     cfg = ArachneConfig(
         rfa=RFAOptions(improper_pair_penalty=args.improper_pair_penalty),
@@ -138,12 +154,25 @@ def run_align(args) -> None:
     print("Reference loaded")
     from .runtime.checkpoint import CheckpointedStream
 
-    stream = CheckpointedStream(args.r1, args.r2, args.checkpoint or None)
-    suffix = f".gen{stream.generation}" if stream.generation > 0 else ""
+    ckpt_path = (args.checkpoint + host_sfx) if args.checkpoint else None
+    stream = CheckpointedStream(
+        args.r1, args.r2, ckpt_path,
+        process_index=ctx.process_index, process_count=ctx.process_count,
+    )
+    # exactly-once resume: truncate the previous generation's shards back
+    # to the last manifest's flushed offsets (records written after that
+    # save are discarded and their barcode sets re-run)
+    for fname, off in stream.resume_offsets.items():
+        path = os.path.join(args.output, fname)
+        if os.path.exists(path) and os.path.getsize(path) > off:
+            os.truncate(path, off)
+    suffix = host_sfx + (f".gen{stream.generation}" if stream.generation > 0 else "")
     bams = BAMWriters(idx, args.output, cfg, version=__version__, shard_suffix=suffix)
     # durability: BGZF/file buffers must hit the OS before a checkpoint
-    # manifest can claim their records as emitted
-    stream.flush_fn = bams.flush
+    # manifest can claim their records as emitted; offsets feed the
+    # truncate-on-resume above
+    stream.flush_fn = lambda: (bams.flush(), bams.offsets())[1]
+    stream.save_initial()
     stats = RunStats()
     engine = None
     if engine_kind == "tpu":
@@ -163,11 +192,17 @@ def run_align(args) -> None:
 
     from .runtime.timers import TIMERS
 
+    crash_after = int(os.environ.get("ARACHNE_CRASH_AFTER_SETS", 0))
+
     def emit(res, n_records, unique):
         with TIMERS.stage("io.write"):
             bams.dump(res.alignments, res.attach_bx)
         stats.note_barcode(res)
         stream.mark_done(1, n_records)
+        if crash_after and stats.barcodes >= crash_after:
+            # fault-injection hook (tests): die hard, mid-stream, without
+            # flushing — exactly what a host failure looks like
+            os._exit(17)
         if n_records > 2:
             print(
                 f"working on barcode {res.barcode}  num reads: {n_records}  "
@@ -223,27 +258,45 @@ def run_align(args) -> None:
                 idx, cfg, records, unique, centromeres, extender=None
             )
             emit(res, len(records), unique)
-    bams.close()
+    # final manifest first (flushes writers for offsets), then close
     stream.finish()
+    bams.close()
     if profiling:
         import jax
 
         jax.profiler.stop_trace()
     dt = time.time() - t0
     stats.finish(dt)
+    if ctx.initialized and ctx.process_count > 1:
+        # cross-host counter merge (psum-style allgather+sum); each host
+        # already wrote its own output shards, mirroring the reference's
+        # sharded BAMs (no output collective needed)
+        from .runtime.stats import RunStats
+
+        merged = RunStats.from_vector(allreduce_stats(stats.to_vector(), ctx))
+        merged.finish(dt)
+        global_stats = merged
+    else:
+        global_stats = stats
     if args.stats_json:
         import json
 
         d = stats.as_dict()
         d["stage_times"] = TIMERS.as_dict()
-        with open(args.stats_json, "w") as fh:
+        if ctx.initialized and ctx.process_count > 1:
+            d["process_index"] = ctx.process_index
+            d["process_count"] = ctx.process_count
+            d["global"] = global_stats.as_dict()
+        with open(args.stats_json + host_sfx if ctx.process_count > 1 else args.stats_json, "w") as fh:
             json.dump(d, fh, indent=2)
     if os.environ.get("ARACHNE_TIMERS"):
         print("--- stage times ---")
         print(TIMERS.summary())
     print(
-        f"Arachne completed successfully: {stats.reads} read pairs, "
-        f"{stats.barcodes} barcodes, {stats.reads / max(dt, 1e-9):.1f} pairs/s"
+        f"Arachne completed successfully: {global_stats.reads} read pairs, "
+        f"{global_stats.barcodes} barcodes, "
+        f"{stats.reads / max(dt, 1e-9):.1f} pairs/s"
+        + (f" (host {ctx.process_index}: {stats.reads} pairs)" if ctx.process_count > 1 else "")
     )
     return stats
 
@@ -269,6 +322,21 @@ def main(argv=None) -> None:
         help="auto = batched device engine on accelerators, oracle on cpu",
     )
     al.add_argument("--checkpoint", default="", help="checkpoint manifest path for resume")
+    al.add_argument(
+        "--coordinator", default=os.environ.get("ARACHNE_COORDINATOR", ""),
+        help="multi-host coordinator address host:port (jax.distributed)",
+    )
+    al.add_argument(
+        "--num-processes", type=int,
+        default=int(os.environ.get("ARACHNE_NUM_PROCESSES", 0)) or None,
+        help="multi-host process count",
+    )
+    al.add_argument(
+        "--process-id", type=int,
+        default=(int(os.environ["ARACHNE_PROCESS_ID"])
+                 if "ARACHNE_PROCESS_ID" in os.environ else None),
+        help="multi-host process id (0-based)",
+    )
     al.add_argument("--stats-json", default="", help="write run statistics JSON here")
     al.add_argument("--profile-dir", default="", help="capture a jax profiler trace here")
     al.add_argument("output")

@@ -295,6 +295,19 @@ class BAMWriters:
         for w in self._all_files:
             w.flush()
 
+    def offsets(self) -> Dict[str, int]:
+        """Durable byte offset of every shard file (call after flush).
+
+        The checkpoint manifest stores these; on resume the files are
+        truncated back to them, discarding any records written after the
+        last manifest save — which makes resume exactly-once (no loss
+        because the manifest only claims flushed sets, no duplicates
+        because everything beyond the manifest is cut)."""
+        out: Dict[str, int] = {}
+        for w in self._all_files:
+            out[os.path.basename(w.path)] = w.fh.tell()
+        return out
+
     def close(self):
         for w in self._all_files:
             w.close()

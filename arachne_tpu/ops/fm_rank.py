@@ -46,7 +46,7 @@ class DeviceFMIndex:
         )
 
 
-_LANE = jnp.uint32(0x55555555)
+_LANE = 0x55555555  # cast at use site; module-level jnp constants initialize the backend at import
 
 
 def occ4_device(fm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
@@ -80,7 +80,7 @@ def occ4_device(fm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     for c in range(4):
         sel_hi = y if (c & 2) else ny
         sel_lo = y if (c & 1) else ny
-        t = (sel_hi >> jnp.uint32(1)) & sel_lo & _LANE
+        t = (sel_hi >> jnp.uint32(1)) & sel_lo & jnp.uint32(_LANE)
         cnt = jax.lax.population_count(t).astype(jnp.int32).sum(axis=-1)
         if c == 0:
             cnt = cnt - (16 - nvalid).sum(axis=-1)

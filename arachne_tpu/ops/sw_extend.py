@@ -34,7 +34,7 @@ import numpy as np
 
 from ..config import MemOptions
 
-NEG_BIG = jnp.int32(-(1 << 30))
+NEG_BIG = -(1 << 30)  # plain int: a module-level jnp constant would initialize the backend at import, breaking jax.distributed.initialize
 
 
 @functools.partial(

@@ -41,7 +41,13 @@ def init_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> DistContext:
-    """Initialize the process group (no-op for single-process runs)."""
+    """Initialize the process group (no-op for single-process runs).
+
+    MUST run before the first jax backend touch (jax.devices / any array
+    op) — jax.distributed.initialize silently degrades to a single-process
+    view once a backend is live.  CPU multi-process collectives go through
+    Gloo (jax>=0.9 default), which the 2-process integration test
+    (tests/test_distributed.py) exercises."""
     if coordinator is None:
         coordinator = os.environ.get("ARACHNE_COORDINATOR")
     if coordinator is None:
@@ -58,13 +64,15 @@ def init_distributed(
     )
 
 
-def partition_superbatches(
-    superbatches: Iterator, ctx: DistContext
-) -> Iterator[Tuple[int, object]]:
-    """Round-robin assignment of superbatches to this process."""
-    for i, sb in enumerate(superbatches):
+def partition_work(items: Iterator, ctx: DistContext) -> Iterator:
+    """Round-robin assignment of independent work items to this process.
+
+    The production barcode-stream partition lives in
+    runtime.checkpoint.CheckpointedStream (same i %% P == p rule, fused
+    with resume skipping); this helper serves ad-hoc callers."""
+    for i, item in enumerate(items):
         if i % ctx.process_count == ctx.process_index:
-            yield i, sb
+            yield item
 
 
 def allreduce_stats(values: np.ndarray, ctx: DistContext) -> np.ndarray:

@@ -42,6 +42,28 @@ class RunStats:
     def finish(self, elapsed: float) -> None:
         self.elapsed = elapsed
 
+    # -- multi-host aggregation: fixed-width int vector for the allreduce
+    _MAPQ_BUCKETS = (0, 10, 20, 30, 40, 50, 60)
+
+    def to_vector(self):
+        import numpy as np
+
+        v = [self.reads, self.barcodes, self.rfa_barcodes, self.molecules,
+             self.duplicates, self.unmapped]
+        v += [self.mapq_hist.get(b, 0) for b in self._MAPQ_BUCKETS]
+        return np.asarray(v, dtype=np.int64)
+
+    @classmethod
+    def from_vector(cls, v) -> "RunStats":
+        s = cls(
+            reads=int(v[0]), barcodes=int(v[1]), rfa_barcodes=int(v[2]),
+            molecules=int(v[3]), duplicates=int(v[4]), unmapped=int(v[5]),
+        )
+        for i, b in enumerate(cls._MAPQ_BUCKETS):
+            if int(v[6 + i]):
+                s.mapq_hist[b] = int(v[6 + i])
+        return s
+
     def as_dict(self) -> Dict:
         return {
             "reads": self.reads,

@@ -1,0 +1,220 @@
+"""Multi-host execution: 2-process CPU integration + fault injection.
+
+SURVEY.md 4(c) calls for multiprocess CPU runs; the reference has no
+distributed analog at all (strictly single-node goroutines,
+/root/reference/src/aligner/aligner.go:319-358), so the contract under
+test is ours: round-robin barcode-set partition across processes
+(runtime/checkpoint.py), per-host output shards + checkpoint manifests,
+stats merged with a collective — and exactly-once output across a hard
+process kill (truncate-on-resume via manifest byte offsets).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _cli_env(**extra) -> dict:
+    """Subprocess env: CPU backend, no axon sitecustomize on PYTHONPATH
+    (its PJRT registration breaks jax.distributed.initialize)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.update({k: str(v) for k, v in extra.items()})
+    return env
+
+
+def _run_cli(args, timeout=300, check=True, **extra_env):
+    p = subprocess.run(
+        [sys.executable, "-m", "arachne_tpu.cli"] + args,
+        env=_cli_env(**extra_env),
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    if check and p.returncode != 0:
+        raise AssertionError(
+            f"CLI failed rc={p.returncode}\nstdout:\n{p.stdout}\nstderr:\n{p.stderr}"
+        )
+    return p
+
+
+def _sam_records(path):
+    with open(path) as fh:
+        return [l for l in fh if not l.startswith("@")]
+
+
+def _sam_header(path):
+    with open(path) as fh:
+        return [l for l in fh if l.startswith("@")]
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    """Small reference + index + 10-barcode simulated linked reads."""
+    d = tmp_path_factory.mktemp("dist")
+    rng = np.random.default_rng(99)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 120_000))
+    ref = str(d / "ref.fa")
+    with open(ref, "w") as fh:
+        fh.write(">chrD\n")
+        for i in range(0, len(seq), 70):
+            fh.write(seq[i : i + 70] + "\n")
+    _run_cli(["index", ref])
+    r1, r2 = str(d / "r1.fq.gz"), str(d / "r2.fq.gz")
+    _run_cli(
+        ["simulate", ref, "--out-r1", r1, "--out-r2", r2,
+         "--barcodes", "10", "--molecules", "3", "--pairs", "3", "--seed", "4"]
+    )
+    # golden single-process run
+    out1 = str(d / "out_single")
+    p = _run_cli(["align", out1, ref, r1, r2, "--engine", "oracle", "--sam", "-t", "1"])
+    import re
+
+    m = re.search(r"completed successfully: (\d+ read pairs, \d+ barcodes)", p.stdout)
+    return {"dir": d, "ref": ref, "r1": r1, "r2": r2, "single": out1,
+            "totals": m.group(1)}
+
+
+def _spawn_pair(args_for, port, extra_env_for=None, timeout=300):
+    """Launch 2 aligner processes forming one jax.distributed group."""
+    procs = []
+    for pid in (0, 1):
+        extra = dict(extra_env_for(pid)) if extra_env_for else {}
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "arachne_tpu.cli"] + args_for(pid),
+                env=_cli_env(**extra),
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outs.append((p.returncode, out))
+    return outs
+
+
+class TestTwoProcess:
+    def test_union_of_host_shards_equals_single_process(self, fixture_dir):
+        f = fixture_dir
+        out2 = str(f["dir"] / "out_multi")
+        port = _free_port()
+
+        def args_for(pid):
+            return [
+                "align", out2, f["ref"], f["r1"], f["r2"],
+                "--engine", "oracle", "--sam", "-t", "1",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2", "--process-id", str(pid),
+            ]
+
+        outs = _spawn_pair(args_for, port)
+        for rc, log in outs:
+            assert rc == 0, log
+        # each host printed the MERGED totals (allreduce across hosts)
+        single = sorted(_sam_records(os.path.join(f["single"], "bc_sorted_bam.sam")))
+        got = sorted(
+            _sam_records(os.path.join(out2, "bc_sorted_bam.host000.sam"))
+            + _sam_records(os.path.join(out2, "bc_sorted_bam.host001.sam"))
+        )
+        assert got == single
+        # headers identical to the single-process run
+        h = _sam_header(os.path.join(f["single"], "bc_sorted_bam.sam"))
+        for host in ("host000", "host001"):
+            assert _sam_header(os.path.join(out2, f"bc_sorted_bam.{host}.sam")) == h
+        # the merged stats line shows the global totals on both hosts
+        for rc, log in outs:
+            assert f["totals"] in log
+
+
+class TestFaultInjection:
+    def test_kill_and_resume_is_exactly_once(self, fixture_dir):
+        """Both processes die hard (os._exit, no flush) mid-run, then the
+        fleet re-launches with the same topology and checkpoints: the final
+        merged output must equal the single-process run record-for-record —
+        nothing lost (manifest only claims flushed sets), nothing
+        duplicated (resume truncates shards to the manifest offsets)."""
+        f = fixture_dir
+        out = str(f["dir"] / "out_fault")
+        ckpt = str(f["dir"] / "fault.ckpt")
+        port1 = _free_port()
+
+        def args_for_port(port):
+            def args_for(pid):
+                return [
+                    "align", out, f["ref"], f["r1"], f["r2"],
+                    "--engine", "oracle", "--sam", "-t", "1",
+                    "--checkpoint", ckpt,
+                    "--coordinator", f"127.0.0.1:{port}",
+                    "--num-processes", "2", "--process-id", str(pid),
+                ]
+            return args_for
+
+        # crash both hosts after 3 barcode sets; manifests save every 2 sets
+        # -> each dies with one emitted-but-unclaimed set in its shard
+        outs = _spawn_pair(
+            args_for_port(port1),
+            port1,
+            extra_env_for=lambda pid: {
+                "ARACHNE_CRASH_AFTER_SETS": "3",
+                "ARACHNE_CHECKPOINT_EVERY": "2",
+            },
+        )
+        for rc, log in outs:
+            # the injected hard exit is 17; the peer may instead die of a
+            # coordination-service error once its partner vanishes — either
+            # way the run must NOT complete
+            assert rc != 0, log
+        # resume with the same topology
+        port2 = _free_port()
+        outs = _spawn_pair(args_for_port(port2), port2)
+        for rc, log in outs:
+            assert rc == 0, log
+        # fold the .genN resume shards into the base shards
+        _run_cli(["merge", out])
+        single = sorted(_sam_records(os.path.join(f["single"], "bc_sorted_bam.sam")))
+        got = sorted(
+            _sam_records(os.path.join(out, "bc_sorted_bam.host000.sam"))
+            + _sam_records(os.path.join(out, "bc_sorted_bam.host001.sam"))
+        )
+        assert got == single
+
+
+class TestSingleProcessCrashResume:
+    def test_unclaimed_records_are_not_duplicated(self, fixture_dir):
+        """Crash with records on disk beyond the last manifest save; the
+        resume must truncate them before re-emitting their barcode sets."""
+        f = fixture_dir
+        out = str(f["dir"] / "out_crash1")
+        ckpt = str(f["dir"] / "crash1.ckpt")
+        base = ["align", out, f["ref"], f["r1"], f["r2"],
+                "--engine", "oracle", "--sam", "-t", "1", "--checkpoint", ckpt]
+        p = _run_cli(
+            base, check=False,
+            ARACHNE_CRASH_AFTER_SETS="5", ARACHNE_CHECKPOINT_EVERY="2",
+        )
+        assert p.returncode == 17
+        # gen0 shard holds 5 sets' records but the manifest claims only 4
+        _run_cli(base)
+        _run_cli(["merge", out])
+        single = sorted(_sam_records(os.path.join(f["single"], "bc_sorted_bam.sam")))
+        got = sorted(_sam_records(os.path.join(out, "bc_sorted_bam.sam")))
+        assert got == single
