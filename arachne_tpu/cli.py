@@ -139,7 +139,8 @@ def run_align(args) -> None:
             emit_sam=args.sam,
         ),
         pipeline=PipelineOptions(
-            engine=engine_kind, num_workers=max(1, args.threads)
+            engine=engine_kind, num_workers=max(1, args.threads),
+            index_mode=getattr(args, "index_mode", "auto"),
         ),
         centromeres=args.centromeres,
         threads=args.threads,
@@ -320,6 +321,11 @@ def main(argv=None) -> None:
     al.add_argument(
         "--engine", choices=["auto", "oracle", "tpu"], default="auto",
         help="auto = batched device engine on accelerators, oracle on cpu",
+    )
+    al.add_argument(
+        "--index-mode", choices=["auto", "replicated", "sharded"], default="auto",
+        help="FM-index placement across the device mesh (sharded = "
+        "block-sharded tables with psum-merged rank lookups)",
     )
     al.add_argument("--checkpoint", default="", help="checkpoint manifest path for resume")
     al.add_argument(

@@ -150,6 +150,12 @@ class PipelineOptions:
     reads_per_batch: int = 4096   # read pairs per superbatch (device dispatch unit)
     num_workers: int = 2          # host worker threads (-t/--threads)
     checkpoint_path: Optional[str] = None
+    # FM-index placement: "replicated" puts full tables on every device
+    # (small genomes); "sharded" block-shards them across the mesh with
+    # psum-merged rank lookups (parallel/mesh.py ShardedFMTables) — the
+    # large-genome mode; "auto" shards only when the tables would not fit
+    # replicated
+    index_mode: str = "auto"
 
 
 @dataclass(frozen=True)

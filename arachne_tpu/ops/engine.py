@@ -67,9 +67,26 @@ class TpuEngine:
             tunneled = os.environ.get("JAX_PLATFORMS", "") == "axon"
             device_seeding = platform in ("cpu", "tpu") and not tunneled
         if device_seeding and idx.seq_len < (1 << 31):
-            from .fm_rank import DeviceFMIndex
+            import jax
 
-            self.dfm = DeviceFMIndex.from_host(idx)
+            mode = getattr(cfg.pipeline, "index_mode", "auto")
+            n_dev = len(jax.devices())
+            if mode == "auto":
+                # shard only when the replicated tables would be heavy
+                # relative to a 16 GB HBM chip (occ+words ~ 0.28 B/row)
+                mode = (
+                    "sharded"
+                    if n_dev > 1 and idx.seq_len > (1 << 33)
+                    else "replicated"
+                )
+            if mode == "sharded" and n_dev > 1:
+                from ..parallel.mesh import ShardedFMTables, make_mesh
+
+                self.dfm = ShardedFMTables(idx, make_mesh())
+            else:
+                from .fm_rank import DeviceFMIndex
+
+                self.dfm = DeviceFMIndex.from_host(idx)
 
     def warmup(self) -> None:
         """Execute every device kernel once at its production batch shape.

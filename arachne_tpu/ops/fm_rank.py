@@ -24,14 +24,23 @@ from ..index.fmindex import FMIndex
 
 @dataclass(frozen=True)
 class DeviceFMIndex:
-    """FM-index tables living in device HBM."""
+    """FM-index tables living in device HBM.
 
-    occ: jnp.ndarray        # int32 (n_blocks, 4)
+    With ``axis`` set, ``occ``/``words`` are the LOCAL block rows of a
+    table sharded across that mesh axis (``rows`` rows starting at global
+    block row ``row_lo``); rank queries answer locally-owned blocks and
+    psum over the axis — the large-genome lookup-as-collective mode
+    (SURVEY.md 5).  primary/seq_len stay GLOBAL either way."""
+
+    occ: jnp.ndarray        # int32 (n_blocks, 4) — global or local shard
     words: jnp.ndarray      # uint32 (n_blocks * 8,)
     L2: jnp.ndarray         # int32 (5,)
     primary: int
     seq_len: int
     l_pac: int
+    row_lo: object = None   # traced scalar: first local occ-block row
+    rows: int = 0           # local rows (static)
+    axis: object = None     # mesh axis name for the psum
 
     @staticmethod
     def from_host(idx: FMIndex) -> "DeviceFMIndex":
@@ -59,11 +68,23 @@ def occ4_device(fm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     neg = k == -1
     kk = jnp.clip(k - (k >= fm.primary).astype(jnp.int32), 0, fm.seq_len - 1)
     block = kk >> 7
-    base = fm.occ[block]                                     # (..., 4)
-    j = kk & 127
     widx = jnp.arange(8, dtype=jnp.int32)
-    gather = block[..., None] * 8 + widx                     # (..., 8)
-    words = fm.words[gather]                                 # (..., 8) uint32
+    if fm.axis is not None:
+        # sharded tables: answer locally-owned blocks, psum merges below.
+        # Edge rows (-1 / seq_len) are fixed up after the psum, so the
+        # garbage a non-owner computes for them is harmless.
+        lb = block - fm.row_lo
+        mine = (lb >= 0) & (lb < fm.rows)
+        lbc = jnp.clip(lb, 0, fm.rows - 1)
+        base = fm.occ[lbc]
+        gather = lbc[..., None] * 8 + widx
+        words = fm.words[gather]
+    else:
+        mine = None
+        base = fm.occ[block]                                 # (..., 4)
+        gather = block[..., None] * 8 + widx                 # (..., 8)
+        words = fm.words[gather]                             # (..., 8) uint32
+    j = kk & 127
     wi = (j >> 4)[..., None]
     p = (j & 15)[..., None]
     nvalid = jnp.where(widx < wi, 16, jnp.where(widx == wi, p + 1, 0))
@@ -86,6 +107,8 @@ def occ4_device(fm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
             cnt = cnt - (16 - nvalid).sum(axis=-1)
         cnts.append(cnt)
     res = base + jnp.stack(cnts, axis=-1)
+    if fm.axis is not None:
+        res = jax.lax.psum(jnp.where(mine[..., None], res, 0), fm.axis)
     res = jnp.where(neg[..., None], 0, res)
     end_vals = (fm.L2[1:5] - fm.L2[0:4]).astype(jnp.int32)
     res = jnp.where(at_end[..., None], end_vals, res)

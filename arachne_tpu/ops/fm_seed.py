@@ -41,12 +41,8 @@ PH_BACK = 2    # backward sweep
 PH_DONE = 3
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("primary", "seq_len", "single_sweep", "R", "L", "MAXC", "MAXS"),
-)
-def _smem_pass_kernel(
-    occ, words, L2, primary, seq_len,          # device FM tables (arrays/ints)
+def _smem_pass_program(
+    fm: DeviceFMIndex,
     qs: jnp.ndarray,                            # (R, L) int8 codes
     qlens: jnp.ndarray,                         # (R,)
     pivots0: jnp.ndarray,                       # (R,) first pivot per read
@@ -58,11 +54,10 @@ def _smem_pass_kernel(
     MAXS: int,
 ):
     """Runs smem1a sweeps; for single_sweep=False the pivot chain
-    x -> ret(x) is followed to the end of each read (pass 1)."""
-    fm = DeviceFMIndex(
-        occ=occ, words=words, L2=L2,
-        primary=int(primary), seq_len=int(seq_len), l_pac=0,
-    )
+    x -> ret(x) is followed to the end of each read (pass 1).
+
+    ``fm`` may be a global-table DeviceFMIndex or a shard-local one (then
+    this runs inside a shard_map and every occ4 psums over fm.axis)."""
     qsT = qs.astype(I32)
 
     st = dict(
@@ -304,10 +299,24 @@ def _smem_pass_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("primary", "seq_len", "min_seed_len", "max_intv", "R", "L", "MAXS"),
+    static_argnames=("primary", "seq_len", "single_sweep", "R", "L", "MAXC", "MAXS"),
 )
-def _pass3_kernel(
-    occ, words, L2, primary, seq_len,
+def _smem_pass_kernel(
+    occ, words, L2, primary, seq_len,          # device FM tables (arrays/ints)
+    qs, qlens, pivots0, min_intvs,
+    single_sweep: bool, R: int, L: int, MAXC: int, MAXS: int,
+):
+    fm = DeviceFMIndex(
+        occ=occ, words=words, L2=L2,
+        primary=int(primary), seq_len=int(seq_len), l_pac=0,
+    )
+    return _smem_pass_program(
+        fm, qs, qlens, pivots0, min_intvs, single_sweep, R, L, MAXC, MAXS
+    )
+
+
+def _pass3_program(
+    fm: DeviceFMIndex,
     qs: jnp.ndarray,
     qlens: jnp.ndarray,
     min_seed_len: int,
@@ -317,10 +326,6 @@ def _pass3_kernel(
     MAXS: int,
 ):
     """bwt_seed_strategy1 pivot chains (bwt.c:358-379) in lockstep."""
-    fm = DeviceFMIndex(
-        occ=occ, words=words, L2=L2,
-        primary=int(primary), seq_len=int(seq_len), l_pac=0,
-    )
     qsT = qs.astype(I32)
 
     def get_code(x):
@@ -401,6 +406,42 @@ def _pass3_kernel(
     return st["out"], st["out_n"], st["overflow"]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("primary", "seq_len", "min_seed_len", "max_intv", "R", "L", "MAXS"),
+)
+def _pass3_kernel(
+    occ, words, L2, primary, seq_len,
+    qs, qlens, min_seed_len: int, max_intv: int, R: int, L: int, MAXS: int,
+):
+    fm = DeviceFMIndex(
+        occ=occ, words=words, L2=L2,
+        primary=int(primary), seq_len=int(seq_len), l_pac=0,
+    )
+    return _pass3_program(fm, qs, qlens, min_seed_len, max_intv, R, L, MAXS)
+
+
+class GlobalPassRunner:
+    """Runs the seeding passes against replicated (global) device tables."""
+
+    def __init__(self, dfm: DeviceFMIndex):
+        self.dfm = dfm
+
+    def run_pass(self, qs, qlens, pivots0, min_intvs, single_sweep, R, L, MAXC, MAXS):
+        d = self.dfm
+        return _smem_pass_kernel(
+            d.occ, d.words, d.L2, d.primary, d.seq_len,
+            qs, qlens, pivots0, min_intvs, single_sweep, R, L, MAXC, MAXS,
+        )
+
+    def run_pass3(self, qs, qlens, min_seed_len, max_intv, R, L, MAXS):
+        d = self.dfm
+        return _pass3_kernel(
+            d.occ, d.words, d.L2, d.primary, d.seq_len,
+            qs, qlens, min_seed_len, max_intv, R, L, MAXS,
+        )
+
+
 def collect_seeds_device(
     idx: FMIndex,
     reads: List[np.ndarray],
@@ -413,12 +454,16 @@ def collect_seeds_device(
 
     Identical per-read output to align.smem.collect_seeds; reads that
     overflow the fixed device buffers are redone with the host collector.
+    ``dfm`` may be a DeviceFMIndex (replicated tables) or any runner
+    object exposing run_pass/run_pass3 — e.g. parallel.mesh.ShardedFMTables
+    for the block-sharded index (lookup-as-collective mode).
     """
     from ..align.smem_batch import collect_seeds_batch
     from .sw_extend import pad_batch
 
     if dfm is None:
         dfm = DeviceFMIndex.from_host(idx)
+    runner = dfm if hasattr(dfm, "run_pass") else GlobalPassRunner(dfm)
     n = len(reads)
     if n == 0:
         return []
@@ -431,11 +476,10 @@ def collect_seeds_device(
         qlens[i] = len(r)
     qs_d = jnp.asarray(qs)
     qlens_d = jnp.asarray(qlens)
-    args = (dfm.occ, dfm.words, dfm.L2, dfm.primary, dfm.seq_len)
 
     # ---- pass 1 ----
-    out1, n1, ovf1 = _smem_pass_kernel(
-        *args, qs_d, qlens_d,
+    out1, n1, ovf1 = runner.run_pass(
+        qs_d, qlens_d,
         jnp.zeros(R, I32), jnp.ones(R, I32), False, R, L, MAXC, MAXS,
     )
     out1 = np.asarray(out1)
@@ -477,8 +521,8 @@ def collect_seeds_device(
             ],
             np.int32,
         )
-        o2, c2, ov2 = _smem_pass_kernel(
-            *args, qs_d, qlens_d,
+        o2, c2, ov2 = runner.run_pass(
+            qs_d, qlens_d,
             jnp.asarray(pivots), jnp.asarray(minis), True, R, L, MAXC, MAXS,
         )
         o2 = np.asarray(o2)
@@ -494,8 +538,8 @@ def collect_seeds_device(
     # ---- pass 3 ----
     pass3: List[List[SMEM]] = [[] for _ in range(R)]
     if opt.max_mem_intv > 0:
-        o3, c3, ov3 = _pass3_kernel(
-            *args, qs_d, qlens_d, opt.min_seed_len, opt.max_mem_intv, R, L, MAXS
+        o3, c3, ov3 = runner.run_pass3(
+            qs_d, qlens_d, opt.min_seed_len, opt.max_mem_intv, R, L, MAXS
         )
         o3 = np.asarray(o3)
         c3 = np.asarray(c3)

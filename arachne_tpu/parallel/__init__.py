@@ -1,13 +1,13 @@
 from .mesh import (
+    ShardedFMTables,
     make_mesh,
     replicated_index_arrays,
     sharded_extend,
-    sharded_index_arrays,
 )
 
 __all__ = [
+    "ShardedFMTables",
     "make_mesh",
     "replicated_index_arrays",
     "sharded_extend",
-    "sharded_index_arrays",
 ]

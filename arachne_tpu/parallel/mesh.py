@@ -84,85 +84,136 @@ def replicated_index_arrays(mesh: Mesh, fm_occ: np.ndarray, fm_words: np.ndarray
     )
 
 
-def sharded_index_arrays(mesh: Mesh, fm_occ: np.ndarray, fm_words: np.ndarray):
-    """Shard FM-index tables across the mesh on the block axis.
+class ShardedFMTables:
+    """Resident block-sharded FM-index + jitted shard_map rank layer.
 
-    Rank queries route to the owning shard; lookups become collective
-    gathers (all_gather of requested blocks).  Large-genome mode."""
-    n = mesh.devices.size
-    blocks = fm_occ.shape[0]
-    pad_blocks = (-blocks) % n
-    if pad_blocks:
-        fm_occ = np.concatenate([fm_occ, np.zeros((pad_blocks, 4), fm_occ.dtype)])
-    total_words = fm_occ.shape[0] * 8
-    if len(fm_words) < total_words:
-        fm_words = np.concatenate(
-            [fm_words, np.zeros(total_words - len(fm_words), fm_words.dtype)]
+    Replaces the rank layer of bwt.c:262-351 for genomes too big to
+    replicate: the occ checkpoint table and BWT words are uploaded ONCE,
+    each device holding a contiguous range of 128-base blocks along
+    ``index_axis`` (other mesh axes see them replicated).  A rank query
+    batch is replicated to every shard; the owning shard answers (the occ
+    rows keep their *global* cumulative counts, so one shard answers a
+    query completely) and a psum over ``index_axis`` assembles the batch —
+    lookup-as-collective (SURVEY.md 5).
+
+    Implements the seeding runner interface (run_pass / run_pass3), so
+    ops.fm_seed.collect_seeds_device drives the WHOLE three-pass seeding
+    state machine against the sharded index: the per-step occ4s inside the
+    jitted while_loops become local-lookup + psum via the shard-aware
+    DeviceFMIndex (ops/fm_rank.py)."""
+
+    def __init__(self, idx, mesh: Mesh, index_axis: str = "data"):
+        from jax.experimental.shard_map import shard_map
+
+        from ..ops.fm_rank import DeviceFMIndex, occ4_device
+
+        n = int(mesh.shape[index_axis])
+        occ = idx.fm.occ.astype(np.int32)
+        words = idx.fm.bwt_words
+        blocks = occ.shape[0]
+        per = -(-blocks // n)
+        if per * n != blocks:
+            occ = np.concatenate([occ, np.zeros((per * n - blocks, 4), np.int32)])
+        need = per * n * 8
+        if len(words) < need:
+            words = np.concatenate([words, np.zeros(need - len(words), words.dtype)])
+        row_spec = P(index_axis, None)
+        self.mesh = mesh
+        self.axis = index_axis
+        self.per = per
+        self.primary = int(idx.primary)
+        self.seq_len = int(idx.seq_len)
+        self.occ_d = jax.device_put(
+            jnp.asarray(occ), NamedSharding(mesh, row_spec)
         )
-    shard = NamedSharding(mesh, P("data"))
-    return (
-        jax.device_put(jnp.asarray(fm_occ), shard),
-        jax.device_put(jnp.asarray(fm_words.reshape(-1, 8)), shard),
-    )
-
-
-def sharded_occ4(
-    mesh: Mesh,
-    idx_occ: np.ndarray,
-    idx_words: np.ndarray,
-    L2: np.ndarray,
-    primary: int,
-    seq_len: int,
-    ks: np.ndarray,
-) -> np.ndarray:
-    """Rank queries against an FM-index block-sharded across the mesh.
-
-    Each device holds a contiguous range of 128-base occ blocks (rows keep
-    their *global* cumulative counts, so an owning shard answers a query
-    completely); every device computes occ4 for the queries whose block it
-    owns (others contribute zero) and a psum over the mesh assembles the
-    answers — lookup-as-collective, the large-genome mode of SURVEY.md §5.
-    The k==-1 / k==seq_len edge rows are the caller's job (they need no
-    table access)."""
-    import jax
-    from jax.experimental.shard_map import shard_map
-    from jax.sharding import PartitionSpec as P
-
-    from ..ops.fm_rank import DeviceFMIndex, occ4_device
-
-    n = mesh.devices.size
-    blocks = idx_occ.shape[0]
-    per = -(-blocks // n)
-    pad_blocks = per * n - blocks
-    occ_p = np.concatenate([idx_occ, np.zeros((pad_blocks, 4), idx_occ.dtype)])
-    words = idx_words
-    need = per * n * 8
-    if len(words) < need:
-        words = np.concatenate([words, np.zeros(need - len(words), words.dtype)])
-    occ_d = jnp.asarray(occ_p.astype(np.int32)).reshape(n, per, 4)
-    words_d = jnp.asarray(words).reshape(n, per * 8)
-    ks_d = jnp.asarray(ks.astype(np.int32))
-    L2_d = jnp.asarray(L2.astype(np.int32))
-
-    def shard_fn(occ_s, words_s, ks_all):
-        me = jax.lax.axis_index("data")
-        lo = me * per
-        kk = ks_all - (ks_all >= primary).astype(jnp.int32)
-        block = jnp.clip(kk, 0, seq_len - 1) >> 7
-        mine = (block >= lo) & (block < lo + per) & (ks_all >= 0) & (ks_all < seq_len)
-        # shard-local view; primary pushed out of range because kk is
-        # already primary-adjusted
-        local = DeviceFMIndex(
-            occ=occ_s[0], words=words_s[0], L2=L2_d,
-            primary=per * 128 + 1, seq_len=per * 128, l_pac=0,
+        self.words_d = jax.device_put(
+            jnp.asarray(words[:need].reshape(per * n, 8)),
+            NamedSharding(mesh, row_spec),
         )
-        vals = occ4_device(local, jnp.where(mine, kk - lo * 128, 0))
-        return jax.lax.psum(jnp.where(mine[:, None], vals, 0), "data")
+        self.L2_d = jax.device_put(
+            jnp.asarray(idx.fm.L2.astype(np.int32)), NamedSharding(mesh, P())
+        )
 
-    fn = shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P("data"), P("data"), P()),
-        out_specs=P(),
-    )
-    return np.asarray(fn(occ_d, words_d, ks_d))
+        axis, per_l, primary, seq_len = index_axis, per, self.primary, self.seq_len
+
+        def local_fm(occ_l, words_l, L2_l):
+            return DeviceFMIndex(
+                occ=occ_l, words=words_l.reshape(-1), L2=L2_l,
+                primary=primary, seq_len=seq_len, l_pac=0,
+                row_lo=jax.lax.axis_index(axis) * per_l, rows=per_l, axis=axis,
+            )
+
+        self._local_fm = local_fm
+        self._row_spec = row_spec
+        # per-static-config jitted shard_map callables (statics are closed
+        # over — shard_map specs only describe array arguments)
+        self._cache = {}
+
+        def occ4_fn(occ_l, words_l, L2_l, ks):
+            return occ4_device(local_fm(occ_l, words_l, L2_l), ks)
+
+        self._occ4 = jax.jit(
+            shard_map(
+                occ4_fn, mesh=mesh,
+                in_specs=(row_spec, row_spec, P(), P()), out_specs=P(),
+                check_rep=False,
+            )
+        )
+
+    def _shard_jit(self, key, fn, n_batch_args):
+        from jax.experimental.shard_map import shard_map
+
+        cached = self._cache.get(key)
+        if cached is None:
+            cached = jax.jit(
+                shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(self._row_spec, self._row_spec, P())
+                    + (P(),) * n_batch_args,
+                    out_specs=(P(), P(), P()),
+                    check_rep=False,
+                )
+            )
+            self._cache[key] = cached
+        return cached
+
+    # -- host rank API (numpy in/out, edge rows handled on device)
+    def occ4(self, ks: np.ndarray) -> np.ndarray:
+        ks = np.asarray(ks)
+        B = len(ks)
+        Bp = max(64, 1 << max(B - 1, 1).bit_length())
+        ks_p = np.full(Bp, -1, np.int32)
+        ks_p[:B] = ks.astype(np.int32)
+        out = self._occ4(self.occ_d, self.words_d, self.L2_d, jnp.asarray(ks_p))
+        return np.asarray(out)[:B].astype(np.int64)
+
+    # -- seeding runner interface (ops.fm_seed.collect_seeds_device)
+    def run_pass(self, qs, qlens, pivots0, min_intvs, single_sweep, R, L, MAXC, MAXS):
+        from ..ops.fm_seed import _smem_pass_program
+
+        local_fm = self._local_fm
+
+        def pass_fn(occ_l, words_l, L2_l, qs_, qlens_, p0_, mi_):
+            return _smem_pass_program(
+                local_fm(occ_l, words_l, L2_l), qs_, qlens_, p0_, mi_,
+                single_sweep, R, L, MAXC, MAXS,
+            )
+
+        fn = self._shard_jit(("pass", single_sweep, R, L, MAXC, MAXS), pass_fn, 4)
+        return fn(self.occ_d, self.words_d, self.L2_d, qs, qlens, pivots0, min_intvs)
+
+    def run_pass3(self, qs, qlens, min_seed_len, max_intv, R, L, MAXS):
+        from ..ops.fm_seed import _pass3_program
+
+        local_fm = self._local_fm
+
+        def pass3_fn(occ_l, words_l, L2_l, qs_, qlens_):
+            return _pass3_program(
+                local_fm(occ_l, words_l, L2_l), qs_, qlens_,
+                min_seed_len, max_intv, R, L, MAXS,
+            )
+
+        fn = self._shard_jit(
+            ("pass3", min_seed_len, max_intv, R, L, MAXS), pass3_fn, 2
+        )
+        return fn(self.occ_d, self.words_d, self.L2_d, qs, qlens)
