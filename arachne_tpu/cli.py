@@ -64,7 +64,7 @@ def load_centromeres(path: Optional[str]) -> Dict[str, Region]:
     return out
 
 
-def load_or_build_index(reference: str, keep_full_sa: bool = True):
+def load_or_build_index(reference: str, keep_full_sa="auto"):
     from .index import FMIndex, build_index_files, load_index
 
     arx = reference + ".arx.npz"
@@ -353,7 +353,14 @@ def main(argv=None) -> None:
 
     ix = sub.add_parser("index", help="build the FM-index for a FASTA reference")
     ix.add_argument("reference")
-    ix.add_argument("--sampled-sa", action="store_true", help="store sampled SA only")
+    ix.add_argument(
+        "--sa-mode", choices=["auto", "full", "sampled"], default="auto",
+        help="auto = dense SA only for small genomes (IndexOptions.sa_full_max_len)",
+    )
+    ix.add_argument(
+        "--sampled-sa", action="store_true",
+        help="deprecated alias for --sa-mode sampled",
+    )
     ix.add_argument(
         "--bwa-format", action="store_true",
         help="also write bwa-compatible .bwt/.sa/.pac/.ann/.amb files",
@@ -396,7 +403,9 @@ def main(argv=None) -> None:
     elif args.command == "index":
         from .index import build_index_files
 
-        out = build_index_files(args.reference, keep_full_sa=not args.sampled_sa)
+        mode = "sampled" if args.sampled_sa else args.sa_mode
+        keep = {"auto": "auto", "full": True, "sampled": False}[mode]
+        out = build_index_files(args.reference, keep_full_sa=keep)
         print(f"Index written to {out}")
         if args.bwa_format:
             from .index import load_index

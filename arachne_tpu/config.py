@@ -135,11 +135,14 @@ class IndexOptions:
 
     occ_interval: int = 128     # bwt.h:36 OCC_INTERVAL (bwa layout)
     sa_interval: int = 32       # `bwa index` default (bwtindex.c)
-    # Device-side SA representation: "full" keeps SA[] dense (fast, memory
-    # heavy), "sampled" keeps every sa_interval-th entry with bounded
-    # inverse-Psi walks.  "auto" picks full below the threshold.
-    device_sa_mode: str = "auto"
-    device_sa_full_max_len: int = 1 << 28
+    # SA representation: "full" keeps SA[] dense (fast lookups, 8 B/row —
+    # ~50 GB for GRCh38 fwd+rev), "sampled" keeps every sa_interval-th
+    # entry with bounded inverse-Psi walks (bwt_sa semantics, bwt.c:86-96).
+    # "auto" keeps the full SA only below sa_full_max_len rows (2^26 rows
+    # = 512 MB) — the genome-scale default used by `index` and by
+    # build-on-demand in `align`.
+    sa_mode: str = "auto"
+    sa_full_max_len: int = 1 << 26
 
 
 @dataclass(frozen=True)

@@ -396,11 +396,23 @@ def load_index(path: str) -> Tuple[PackedReference, FMIndexData]:
     return packed, fm
 
 
-def build_index_files(fasta_path: str, out_prefix: Optional[str] = None, keep_full_sa: bool = True) -> str:
-    """CLI helper: build and save a native index next to the FASTA."""
+def build_index_files(
+    fasta_path: str, out_prefix: Optional[str] = None, keep_full_sa="auto"
+) -> str:
+    """CLI helper: build and save a native index next to the FASTA.
+
+    ``keep_full_sa`` may be True/False or "auto" (config.IndexOptions
+    sa_mode): auto keeps the dense SA only when fwd+rev is at most
+    sa_full_max_len rows, so genome-scale indexes stay sampled-SA by
+    default (the full SA for GRCh38 alone would be ~50 GB)."""
+    from ..config import IndexOptions
+
     out = (out_prefix or fasta_path) + ".arx.npz"
     contigs = parse_fasta(fasta_path)
     packed = pack_reference(contigs)
-    fm = build_fmindex(packed, keep_full_sa=keep_full_sa)
+    if keep_full_sa == "auto":
+        opts = IndexOptions()
+        keep_full_sa = 2 * packed.l_pac <= opts.sa_full_max_len
+    fm = build_fmindex(packed, keep_full_sa=bool(keep_full_sa))
     save_index(out, packed, fm)
     return out

@@ -87,7 +87,7 @@ def _extend_kernel(
     carry = (
         Hprev,                                   # H
         Eprev,                                   # E
-        jnp.ones((1, B), jnp.int32),             # alive (0/1; i1 carries
+        (tlens > 0).astype(jnp.int32),           # alive (0/1; i1 carries
                                                  # fail Mosaic legalization)
         qlens,                                   # end
         h0s,                                     # maxv
@@ -207,7 +207,21 @@ def _extend_kernel(
             max_off,
         )
 
-    st = jax.lax.fori_loop(0, tmax, body, carry)
+    # dynamic trip count: a row only does real work for lanes that are
+    # still alive AND have target left; rows past that are pure masked
+    # work.  Callers sort submissions by tlen so tiles are coherent and
+    # early tiles stop at small bounds.  (Output-identical: dead/past-end
+    # lanes never update state in `body`.)
+    def cond(ist):
+        i, st = ist
+        work_left = jnp.max(jnp.where(st[2] != 0, tlens, 0))   # (scalar)
+        return (i < jnp.int32(tmax)) & (i < work_left)
+
+    def wbody(ist):
+        i, st = ist
+        return i + 1, body(i, st)
+
+    _, st = jax.lax.while_loop(cond, wbody, (jnp.int32(0), carry))
     (_, _, _, _, maxv, max_i, max_j, max_ie, gscore, max_off) = st
     out_ref[0:1, :] = maxv
     out_ref[1:2, :] = max_j + 1

@@ -107,7 +107,20 @@ def _global_kernel_body(
         E_s[:] = jnp.where(keep, Enew, E)
         return 0
 
-    jax.lax.fori_loop(0, t_chunk, body, 0)
+    # chunk-level skip: when this whole target chunk lies beyond every
+    # lane's target (tiles are tlen-sorted by the caller), there is no DP
+    # to run — only the z rows must still read as zero
+    tile_hi = jnp.max(tlens)
+    past_all = gt * t_chunk >= tile_hi
+
+    @pl.when(past_all)
+    def _skip():
+        if want_z:
+            z_ref[:] = jnp.zeros(z_ref.shape, jnp.uint8)
+
+    @pl.when(jnp.logical_not(past_all))
+    def _run():
+        jax.lax.fori_loop(0, t_chunk, body, 0)
 
 
 def _score_kernel(qsT_ref, tsT_ref, params_ref, score_ref, H_s, E_s, **kw):

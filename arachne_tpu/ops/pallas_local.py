@@ -52,13 +52,16 @@ def _local_kernel(
     q_is_n = qsT == 4
 
     zero1 = jnp.zeros((1, B), jnp.int32)
+    # rows the dynamic loop below never reaches must still read as zero in
+    # the row-max stream (the host second-best scan walks [0, tlen))
+    rowmax_ref[:] = jnp.zeros((tmax, B), jnp.int32)
     carry = (
         jnp.zeros((qmax, B), jnp.int32),   # H
         jnp.zeros((qmax, B), jnp.int32),   # E
         jnp.zeros((qmax, B), jnp.int32),   # Hmax
         zero1,                             # gmax
         zero1 - 1,                         # te
-        jnp.ones((1, B), jnp.int32),       # alive (int: i1 carries fail)
+        (tlens > 0).astype(jnp.int32),     # alive (int: i1 carries fail)
     )
 
     def body(i, st):
@@ -105,7 +108,19 @@ def _local_kernel(
             ((alive != 0) & ~die).astype(jnp.int32),
         )
 
-    H0, E0, Hmax, gmax, te, alive = jax.lax.fori_loop(0, tmax, body, carry)
+    # dynamic trip count (see pallas_extend): stop once no lane is both
+    # alive (endsc early-stop) and inside its target
+    def cond(ist):
+        i, st = ist
+        work_left = jnp.max(jnp.where(st[5] != 0, tlens, 0))
+        return (i < jnp.int32(tmax)) & (i < work_left)
+
+    def wbody(ist):
+        i, st = ist
+        return i + 1, body(i, st)
+
+    _, st = jax.lax.while_loop(cond, wbody, (jnp.int32(0), carry))
+    H0, E0, Hmax, gmax, te, alive = st
     # qe: smallest query index achieving the Hmax row's max
     col_max = jnp.max(Hmax, axis=0, keepdims=True)
     big = jnp.int32(1 << 30)

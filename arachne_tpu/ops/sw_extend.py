@@ -270,6 +270,14 @@ class BatchExtender:
         # bucket padded shapes to multiples of 64 so jit caches stay warm
         qmax = max(self.qmax, -(-max(len(q) for q in self.queries) // 64) * 64)
         tmax = max(self.tmax, -(-max(len(t) for t in self.targets) // 64) * 64)
+        # sort by target length so each pallas lane-tile is coherent — the
+        # kernel's dynamic trip count stops a tile at its own longest
+        # target; results are unsorted back to submission order below
+        order = sorted(range(B), key=lambda i: len(self.targets[i]))
+        self.queries = [self.queries[i] for i in order]
+        self.targets = [self.targets[i] for i in order]
+        self.ws = [self.ws[i] for i in order]
+        self.h0s = [self.h0s[i] for i in order]
         results = []
         for c0 in range(0, B, self.CHUNK):
             c1 = min(c0 + self.CHUNK, B)
@@ -318,5 +326,8 @@ class BatchExtender:
                 )
             arrs = [np.asarray(o) for o in out]
             results.extend(tuple(int(a[i]) for a in arrs) for i in range(nb))
+        unsorted = [None] * B
+        for k, i in enumerate(order):
+            unsorted[i] = results[k]
         self.reset()
-        return results
+        return unsorted

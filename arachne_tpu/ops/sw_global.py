@@ -167,6 +167,10 @@ class BatchGlobal:
         from .sw_extend import pad_batch
 
         B = len(problems)
+        # tlen-coherent tiles for the pallas chunk-skip; outputs unsorted
+        # back to input order before returning
+        order = sorted(range(B), key=lambda i: len(problems[i][1]))
+        problems = [problems[i] for i in order]
         qmax = max(self.qmax, -(-max(len(q) for q, _, _ in problems) // 64) * 64)
         tmax = max(self.tmax, -(-max(len(t) for _, t, _ in problems) // 64) * 64)
         chunk = self.CHUNK_Z if want_z else self.CHUNK
@@ -213,8 +217,10 @@ class BatchGlobal:
             scores.append(np.asarray(score)[:nb])
             if want_z:
                 zs.append(np.asarray(z)[:, :, :nb])
-        score_all = np.concatenate(scores)
-        z_all = np.concatenate(zs, axis=2) if zs else None
+        inv = np.empty(B, np.int64)
+        inv[np.asarray(order)] = np.arange(B)
+        score_all = np.concatenate(scores)[inv]
+        z_all = np.concatenate(zs, axis=2)[:, :, inv] if zs else None
         return score_all, z_all
 
     def run(self, want_cigar: bool = True):

@@ -161,6 +161,12 @@ class BatchLocalSW:
 
         qmax = max(self.qmax, -(-max((len(q) for q in qs_list), default=1) // 64) * 64)
         tmax = max(self.tmax, -(-max((len(t) for t in ts_list), default=1) // 64) * 64)
+        # tlen-coherent tiles for the kernel's dynamic trip count; outputs
+        # are unsorted back to input order before returning
+        order = sorted(range(B), key=lambda i: len(ts_list[i]))
+        qs_list = [qs_list[i] for i in order]
+        ts_list = [ts_list[i] for i in order]
+        endscs = [endscs[i] for i in order]
         chunk_outs = []
         for c0 in range(0, B, self.CHUNK):
             c1 = min(c0 + self.CHUNK, B)
@@ -201,14 +207,19 @@ class BatchLocalSW:
                 )
             chunk_outs.append(([np.asarray(o) for o in out], nb))
         merged = []
+        inv = np.empty(B, np.int64)
+        inv[np.asarray(order)] = np.arange(B)
         for j in range(4):
             parts = []
             for arrs, nb in chunk_outs:
                 a = arrs[j]
                 parts.append(a[:, :nb] if a.ndim > 1 else a[:nb])
-            merged.append(
-                np.concatenate(parts, axis=1) if parts[0].ndim > 1 else np.concatenate(parts)
+            cat = (
+                np.concatenate(parts, axis=1)
+                if parts[0].ndim > 1
+                else np.concatenate(parts)
             )
+            merged.append(cat[:, inv] if cat.ndim > 1 else cat[inv])
         return merged
 
     def run_align2(self) -> List[KswResult]:

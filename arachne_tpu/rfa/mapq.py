@@ -26,17 +26,26 @@ from .types import Alignment, CandidateMolecule, Region
 def molecule_mapq_probability_sums(
     molecules: Optional[List[CandidateMolecule]], log_unpaired_probability: float
 ) -> None:
-    """aligner.go:697-720."""
+    """aligner.go:697-720.
+
+    Restricted to read-sharing molecule pairs (optimizer.sink_neighborhoods):
+    a disjoint pair contributes to no alignment (source_alignments comes up
+    empty), so skipping it is output-identical and kills the second O(n²)
+    fast_score sweep (SURVEY.md 3.5 hot loop #4)."""
     if not molecules:
         return
+    from .optimizer import sink_neighborhoods
+
+    nbr = sink_neighborhoods(molecules)
     for mol_id, source in enumerate(molecules):
-        for mol2_id, sink in enumerate(molecules):
-            if mol_id == mol2_id:
-                continue
+        for mol2_id in nbr[mol_id]:
+            sink = molecules[mol2_id]
             source_alignments = []
             for aln in source.active_alignments.iter_values():
                 if sink.best_alignment_for_read.get(aln.read_id) is not None:
                     source_alignments.append(aln)
+            if not source_alignments:
+                continue
             change, _ = fast_score(source, sink, log_unpaired_probability)
             move_probability = math.pow(10, change)
             for alignment in source_alignments:

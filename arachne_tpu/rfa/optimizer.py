@@ -141,6 +141,32 @@ def accept_move(move: Move) -> None:
         sink_alignment.active = True
 
 
+def sink_neighborhoods(mols: List[CandidateMolecule]) -> List[List[int]]:
+    """For each molecule, the ascending-index list of molecules sharing at
+    least one candidate read (a key of best_alignment_for_read).
+
+    fast_score between molecules sharing NO reads is a provable no-op:
+    num_moved stays 0, so GenerateMove ignores the move
+    (aligner.go:1091-1093) and moleculeMapqProbabilitySums adds the
+    probability to an empty alignment list (aligner.go:703-717).  Active
+    reads are always a subset of best_alignment_for_read keys (moves only
+    install sink.best_alignment_for_read entries), so this static
+    neighborhood is a sound over-approximation — restricting both O(n²)
+    loops to it leaves their output bit-identical while the 30k-read
+    blow-up (SURVEY.md 7 "hard parts") becomes O(shared-read pairs)."""
+    by_read: Dict[int, List[int]] = {}
+    for i, m in enumerate(mols):
+        for rid in m.best_alignment_for_read.iter_keys():
+            by_read.setdefault(rid, []).append(i)
+    nbr: List[set] = [set() for _ in mols]
+    for lst in by_read.values():
+        if len(lst) > 1:
+            s = set(lst)
+            for i in lst:
+                nbr[i] |= s
+    return [sorted(s - {i}) for i, s in enumerate(nbr)]
+
+
 @dataclass
 class Optimizer:
     """Optimizer model (aligner.go:195-203)."""
@@ -150,20 +176,23 @@ class Optimizer:
     log_unpaired_probability: float
     barcode: str = ""
     current_source: int = 0
+    neighborhoods: Optional[List[List[int]]] = None
 
     def generate_move(self) -> None:
         """GenerateMove (aligner.go:1065-1097): pure greedy — evaluates all
         sinks from the current source, applies the best move if Δ>0 (or Δ==0
-        into a larger sink)."""
+        into a larger sink).  Only read-sharing sinks are scored (see
+        sink_neighborhoods — identical output, not O(n_mol²))."""
         mols = self.candidate_molecules
+        if self.neighborhoods is None:
+            self.neighborhoods = sink_neighborhoods(mols)
         source = mols[self.current_source]
         if len(source.active_alignments) == 0:
             self.current_source = (self.current_source + 1) % len(mols)
             return
         best = Move(score_change=-math.inf, sink=source)
-        for i, sink in enumerate(mols):
-            if i == self.current_source:
-                continue
+        for i in self.neighborhoods[self.current_source]:
+            sink = mols[i]
             score, move = fast_score(source, sink, self.log_unpaired_probability)
             if (
                 score > best.score_change
