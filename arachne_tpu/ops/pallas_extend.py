@@ -299,3 +299,31 @@ def extend_batch_pallas(
         ),
     )(qsT, tsT, params)
     return (out[0], out[1], out[2], out[3], out[4], out[5])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "qmax", "tmax", "a", "b", "o_del", "e_del", "o_ins", "e_ins",
+        "zdrop", "b_tile", "interpret",
+    ),
+)
+def extend_batch_pallas_packed(
+    qs_p, qs_n, ts_p, ts_n, qlens, tlens, ws, h0s,
+    *, qmax, tmax, a, b, o_del, e_del, o_ins, e_ins, zdrop,
+    b_tile=512, interpret=False,
+):
+    """extend_batch_pallas fed 2-bit packed uploads (ops/packing.py):
+    codes are unpacked on device in the jit prologue, cutting the
+    host->device bytes ~2.7x — the tunnel upload dominates a chunk's
+    steady-state cost."""
+    from .packing import unpack_codes
+
+    qs = unpack_codes(qs_p, qs_n, qmax)
+    ts = unpack_codes(ts_p, ts_n, tmax)
+    return extend_batch_pallas(
+        qs, ts, qlens, tlens, ws, h0s,
+        qmax=qmax, tmax=tmax, a=a, b=b, o_del=o_del, e_del=e_del,
+        o_ins=o_ins, e_ins=e_ins, zdrop=zdrop, b_tile=b_tile,
+        interpret=interpret,
+    )

@@ -236,3 +236,28 @@ def global_batch_pallas(
         interpret=interpret,
     )(qsT, tsT, params)
     return out[0], None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "qmax", "tmax", "a", "b", "o_del", "e_del", "o_ins", "e_ins",
+        "want_z", "b_tile", "t_chunk", "interpret",
+    ),
+)
+def global_batch_pallas_packed(
+    qs_p, qs_n, ts_p, ts_n, qlens, tlens, ws,
+    *, qmax, tmax, a, b, o_del, e_del, o_ins, e_ins,
+    want_z=True, b_tile=256, t_chunk=8, interpret=False,
+):
+    """global_batch_pallas fed 2-bit packed uploads (ops/packing.py)."""
+    from .packing import unpack_codes
+
+    qs = unpack_codes(qs_p, qs_n, qmax)
+    ts = unpack_codes(ts_p, ts_n, tmax)
+    return global_batch_pallas(
+        qs, ts, qlens, tlens, ws,
+        qmax=qmax, tmax=tmax, a=a, b=b, o_del=o_del, e_del=e_del,
+        o_ins=o_ins, e_ins=e_ins, want_z=want_z, b_tile=b_tile,
+        t_chunk=t_chunk, interpret=interpret,
+    )

@@ -205,3 +205,27 @@ def local_sw_batch_pallas(
         ),
     )(qsT, tsT, params)
     return (out[0], out[1], out[2], rowmax)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "qmax", "tmax", "a", "b", "o_del", "e_del", "o_ins", "e_ins",
+        "b_tile", "interpret",
+    ),
+)
+def local_sw_batch_pallas_packed(
+    qs_p, qs_n, ts_p, ts_n, qlens, tlens, endscs,
+    *, qmax, tmax, a, b, o_del, e_del, o_ins, e_ins,
+    b_tile=256, interpret=False,
+):
+    """local_sw_batch_pallas fed 2-bit packed uploads (ops/packing.py)."""
+    from .packing import unpack_codes
+
+    qs = unpack_codes(qs_p, qs_n, qmax)
+    ts = unpack_codes(ts_p, ts_n, tmax)
+    return local_sw_batch_pallas(
+        qs, ts, qlens, tlens, endscs,
+        qmax=qmax, tmax=tmax, a=a, b=b, o_del=o_del, e_del=e_del,
+        o_ins=o_ins, e_ins=e_ins, b_tile=b_tile, interpret=interpret,
+    )

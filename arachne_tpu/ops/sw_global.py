@@ -197,11 +197,15 @@ class BatchGlobal:
                 tlens[i] = len(t)
                 ws[i] = w
             if self.use_pallas:
-                from .pallas_global import global_batch_pallas
+                from .packing import pack_codes
+                from .pallas_global import global_batch_pallas_packed
 
-                score, z = global_batch_pallas(
-                    jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens),
-                    jnp.asarray(tlens), jnp.asarray(ws),
+                qs_p, qs_n = pack_codes(qs)
+                ts_p, ts_n = pack_codes(ts)
+                score, z = global_batch_pallas_packed(
+                    jnp.asarray(qs_p), jnp.asarray(qs_n),
+                    jnp.asarray(ts_p), jnp.asarray(ts_n),
+                    jnp.asarray(qlens), jnp.asarray(tlens), jnp.asarray(ws),
                     qmax=qmax, tmax=tmax, a=self.opt.a, b=self.opt.b,
                     o_del=self.opt.o_del, e_del=self.opt.e_del,
                     o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,

@@ -189,11 +189,15 @@ class BatchLocalSW:
                 qlens[i] = len(q)
                 tlens[i] = len(t)
             if self.use_pallas:
-                from .pallas_local import local_sw_batch_pallas
+                from .packing import pack_codes
+                from .pallas_local import local_sw_batch_pallas_packed
 
-                out = local_sw_batch_pallas(
-                    jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens),
-                    jnp.asarray(tlens), jnp.asarray(ends),
+                qs_p, qs_n = pack_codes(qs)
+                ts_p, ts_n = pack_codes(ts)
+                out = local_sw_batch_pallas_packed(
+                    jnp.asarray(qs_p), jnp.asarray(qs_n),
+                    jnp.asarray(ts_p), jnp.asarray(ts_n),
+                    jnp.asarray(qlens), jnp.asarray(tlens), jnp.asarray(ends),
                     qmax=qmax, tmax=tmax, a=self.opt.a, b=self.opt.b,
                     o_del=self.opt.o_del, e_del=self.opt.e_del,
                     o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,

@@ -156,3 +156,51 @@ def test_pallas_extend_zdrop_disabled():
     )
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+class TestPacking:
+    def test_pack_unpack_roundtrip(self, rng):
+        from arachne_tpu.ops.packing import pack_codes, unpack_codes
+
+        arr = rng.integers(0, 5, (16, 128)).astype(np.int8)
+        p, n = pack_codes(arr)
+        assert p.shape == (16, 32) and n.shape == (16, 16)
+        back = np.asarray(unpack_codes(jnp.asarray(p), jnp.asarray(n), 128))
+        assert np.array_equal(back, arr)
+
+    def test_packed_entry_matches_raw(self, rng):
+        """The packed jit entry must match the raw pallas entry bit-for-bit
+        (interpret mode on CPU)."""
+        from arachne_tpu.config import MemOptions
+        from arachne_tpu.ops.packing import pack_codes
+        from arachne_tpu.ops.pallas_extend import (
+            extend_batch_pallas,
+            extend_batch_pallas_packed,
+        )
+
+        opt = MemOptions()
+        B, qmax, tmax = 8, 64, 128
+        qs = rng.integers(0, 5, (B, qmax)).astype(np.int8)
+        ts = rng.integers(0, 5, (B, tmax)).astype(np.int8)
+        qlens = np.full(B, 48, np.int32)
+        tlens = np.full(B, 100, np.int32)
+        ws = np.full(B, 100, np.int32)
+        h0s = np.full(B, 19, np.int32)
+        kw = dict(
+            qmax=qmax, tmax=tmax, a=opt.a, b=opt.b, o_del=opt.o_del,
+            e_del=opt.e_del, o_ins=opt.o_ins, e_ins=opt.e_ins,
+            zdrop=opt.zdrop, b_tile=8, interpret=True,
+        )
+        raw = extend_batch_pallas(
+            jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens),
+            jnp.asarray(tlens), jnp.asarray(ws), jnp.asarray(h0s), **kw
+        )
+        qp, qn = pack_codes(qs)
+        tp, tn = pack_codes(ts)
+        packed = extend_batch_pallas_packed(
+            jnp.asarray(qp), jnp.asarray(qn), jnp.asarray(tp), jnp.asarray(tn),
+            jnp.asarray(qlens), jnp.asarray(tlens), jnp.asarray(ws),
+            jnp.asarray(h0s), **kw
+        )
+        for r, p in zip(raw, packed):
+            assert np.array_equal(np.asarray(r), np.asarray(p))
