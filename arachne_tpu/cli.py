@@ -229,13 +229,17 @@ def run_align(args) -> None:
                 tls.engine = eng
             return process_barcodes(idx, cfg, batch, eng, centromeres)
 
+        batch_limit = int(
+            os.environ.get("ARACHNE_TEST_READS_PER_BATCH", 0)
+        ) or cfg.pipeline.reads_per_batch
+
         def superbatches():
             pending = []
             pending_pairs = 0
             for records, unique in stream:
                 pending.append((records, unique))
                 pending_pairs += len(records)
-                if pending_pairs >= cfg.pipeline.reads_per_batch:
+                if pending_pairs >= batch_limit:
                     yield pending
                     pending = []
                     pending_pairs = 0
