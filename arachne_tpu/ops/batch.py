@@ -4,11 +4,13 @@
 extensions executed as device batches instead of per-seed scalar DP:
 
   1. host: chaining + filtering per read (FM-index batch queries);
-  2. wave 1: every seed's LEFT extension at both band widths (the
-     reference's band-doubling retry, bwamem.c:723-733) in one batch;
+  2. wave 1: every seed's LEFT extension at the base band in one batch,
+     then the doubled band (the reference's band-doubling retry,
+     bwamem.c:723-733) in a small follow-up batch only for seeds whose
+     try-0 result triggers the retry condition;
   3. wave 2: every seed's RIGHT extension — its h0 is the left-extended
      score, which wave 1 determined (including which band try "won") —
-     again at both bands, one batch;
+     same lazy band-doubling;
   4. host: replay chain2aln's sequential bookkeeping (containment skips,
      band retries, local-vs-to-end choice) with the precomputed results.
 
@@ -26,7 +28,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..align.chain import Chain, chain_filter, filter_chained_seeds, mem_chain
-from ..align.extend import AlnReg, MAX_BAND_TRY, cal_max_gap, chain2aln, sort_dedup_patch
+from ..align.extend import AlnReg, cal_max_gap, chain2aln, sort_dedup_patch
 from ..config import MemOptions
 from ..index.fmindex import FMIndex
 from .sw_extend import BatchExtender
@@ -68,21 +70,6 @@ def _chain_window(idx: FMIndex, q: np.ndarray, c: Chain, opt: MemOptions):
             rmax0 = l_pac
     rseq, rid, rmax0, rmax1 = idx.fetch_seq(rmax0, c.seeds[0].rbeg, rmax1)
     return rseq, rmax0
-
-
-def _effective_band_score(results: List[Tuple], opt: MemOptions) -> Tuple:
-    """Replay the band-doubling retry (bwamem.c:723-733): returns the
-    result tuple of the band try the scalar driver would settle on."""
-    score = -1
-    chosen = results[0]
-    for i, res in enumerate(results):
-        prev = score
-        aw = opt.w << i
-        chosen = res
-        score = res[0]
-        if score == prev or res[5] < (aw >> 1) + (aw >> 2):
-            break
-    return chosen
 
 
 def batch_align_single(
@@ -152,45 +139,68 @@ def batch_align_single(
 
     cache: Dict[Tuple, Tuple] = {}
 
-    # wave 1: left extensions, both bands
-    wave1: List[Tuple] = []
-    for sp in seed_probs:
-        if sp.left is not None:
-            qs, rs = sp.left
-            for i in range(MAX_BAND_TRY):
-                wave1.append((qs, rs, opt.w << i, opt.pen_clip5, sp.h0))
-    if wave1:
-        for p in wave1:
+    def _run_wave(probs: List[Tuple]) -> List[Tuple]:
+        for p in probs:
             extender_batch.submit(*p)
         with TIMERS.stage("extend.device"):
-            wave1_out = extender_batch.run()
-        for p, res in zip(wave1, wave1_out):
+            out = extender_batch.run()
+        for p, res in zip(probs, out):
             cache[_problem_key(*p)] = res
+        return out
 
-    # wave 2: right extensions with sc0 from wave 1
+    def _needs_retry(res: Tuple, prev_score: int, band_try: int) -> bool:
+        """The band-doubling continue condition (bwamem.c:723-733, replayed
+        in chain2aln): another try runs only when the score changed AND
+        max_off reached 3/4 of the band."""
+        aw = opt.w << band_try
+        return not (res[0] == prev_score or res[5] < (aw >> 1) + (aw >> 2))
+
+    # wave 1: every seed's LEFT extension at the base band; the doubled
+    # band runs in a (small) second wave only for seeds whose try-0 result
+    # actually triggers the reference's retry — identical final choice,
+    # half the device problems on the common path.
+    wave1 = [
+        (sp.left[0], sp.left[1], opt.w, opt.pen_clip5, sp.h0)
+        for sp in seed_probs
+        if sp.left is not None
+    ]
+    if wave1:
+        wave1_out = _run_wave(wave1)
+        retry1 = [
+            (qs, rs, opt.w << 1, eb, h0)
+            for (qs, rs, _w, eb, h0), res in zip(wave1, wave1_out)
+            if _needs_retry(res, -1, 0)
+        ]
+        if retry1:
+            _run_wave(retry1)
+
+    # wave 2: right extensions with sc0 from wave 1's effective band try
     wave2: List[Tuple] = []
     for sp in seed_probs:
         if sp.right_parts is None:
             continue
         if sp.left is not None:
             qs, rs = sp.left
-            left_results = [
-                cache[_problem_key(qs, rs, opt.w << i, opt.pen_clip5, sp.h0)]
-                for i in range(MAX_BAND_TRY)
-            ]
-            sc0 = _effective_band_score(left_results, opt)[0]
+            res0 = cache[_problem_key(qs, rs, opt.w, opt.pen_clip5, sp.h0)]
+            if _needs_retry(res0, -1, 0):
+                sc0 = cache[
+                    _problem_key(qs, rs, opt.w << 1, opt.pen_clip5, sp.h0)
+                ][0]
+            else:
+                sc0 = res0[0]
         else:
             sc0 = sp.h0
         qt, rt = sp.right_parts
-        for i in range(MAX_BAND_TRY):
-            wave2.append((qt, rt, opt.w << i, opt.pen_clip3, sc0))
+        wave2.append((qt, rt, opt.w, opt.pen_clip3, sc0))
     if wave2:
-        for p in wave2:
-            extender_batch.submit(*p)
-        with TIMERS.stage("extend.device"):
-            wave2_out = extender_batch.run()
-        for p, res in zip(wave2, wave2_out):
-            cache[_problem_key(*p)] = res
+        wave2_out = _run_wave(wave2)
+        retry2 = [
+            (qt, rt, opt.w << 1, eb, sc0)
+            for (qt, rt, _w, eb, sc0), res in zip(wave2, wave2_out)
+            if _needs_retry(res, sc0, 0)
+        ]
+        if retry2:
+            _run_wave(retry2)
 
     misses = [0]
 

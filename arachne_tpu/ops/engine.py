@@ -159,41 +159,88 @@ class TpuEngine:
         side: int,
         score_delta: int,
     ) -> None:
-        """mem_matesw waves (bwamem_pair.c:111-180 + gobwa.go:286-324):
-        each pair advances one anchor per wave; SW problems batch."""
+        """mem_matesw (bwamem_pair.c:111-180 + gobwa.go:286-324) with ONE
+        device dispatch for the whole side.
+
+        The set of attempted anchors is fully determined by the pre-rescue
+        snapshot (anchor order, the best-score delta filter, the
+        max_matesw cap) — only the skip-window check and the
+        insert+dedup-after-each-attempt bookkeeping depend on the evolving
+        mate list.  So every attempt's SW window (a pure function of the
+        anchor) is computed up front and batched in one dispatch; the
+        sequential semantics are then replayed on the host, consuming the
+        precomputed SW results.  Anchors the replay decides to skip simply
+        leave their (already computed) result unused — output is
+        byte-identical to the per-attempt loop."""
         idx, opt, pes = self.idx, self.opt, self.cfg.pes
         l_pac = idx.l_pac
-        anchors = [list(rs) for rs in anchor_regs]  # snapshot (pre-rescue list)
-        cursor = [0] * len(pairs)
-        num = [0] * len(pairs)
-        while True:
-            batch_jobs = []  # (pair_i, anchor, seq, rb_clamped, ref)
-            for pi in range(len(pairs)):
-                mate_seq = pairs[pi][side]
-                if mate_seq is None or len(mate_seq) == 0:
-                    continue
-                while cursor[pi] < len(anchors[pi]) and num[pi] < opt.max_matesw:
-                    a = anchors[pi][cursor[pi]]
-                    cursor[pi] += 1
+
+        # per-pair attempted-anchor list from the snapshot
+        attempts: List[List[AlnReg]] = []
+        for pi in range(len(pairs)):
+            lst: List[AlnReg] = []
+            mate_seq = pairs[pi][side]
+            if mate_seq is not None and len(mate_seq) > 0:
+                for a in anchor_regs[pi]:
+                    if len(lst) >= opt.max_matesw:
+                        break
                     if a.score < best_anchor[pi] - score_delta:
                         continue
-                    num[pi] += 1
-                    # one rescue attempt: FR orientation only
-                    job = self._prepare_matesw(a, mate_seq, mate_regs[pi])
-                    if job is not None:
-                        batch_jobs.append((pi, a, *job))
-                        break  # one attempt per wave per pair
-                    # skip[] all satisfied -> attempt costs nothing, continue
-            if not batch_jobs:
-                break
+                    lst.append(a)
+            attempts.append(lst)
+
+        # one batch: the SW window of every attempt the PRE-rescue mate
+        # list doesn't already satisfy (the skip hint).  The hint is only a
+        # batching filter — the authoritative skip check reruns during the
+        # replay against the evolving list; in the rare case dedup removed
+        # the hint's proper mate, the replay falls back to the (bit-
+        # identical, tests/test_ops.py) host oracle for that one attempt.
+        windows: Dict[Tuple[int, int], Tuple] = {}  # (pi, ai) -> (seq, rb, ref)
+        batch_keys = []
+        for pi, lst in enumerate(attempts):
+            mate_seq = pairs[pi][side]
+            hint_regs = mate_regs[pi]
+            for ai, a in enumerate(lst):
+                win = self._matesw_window(a, mate_seq)
+                if win is not None:
+                    windows[(pi, ai)] = win
+                    if not self._matesw_skip(a, hint_regs):
+                        batch_keys.append((pi, ai))
+        results: Dict[Tuple[int, int], object] = {}
+        if batch_keys:
             from ..runtime.timers import TIMERS
 
-            for pi, a, seq, rb, ref in batch_jobs:
+            for key in batch_keys:
+                seq, rb, ref = windows[key]
                 self.local.submit(seq, ref, opt.min_seed_len * opt.a)
             with TIMERS.stage("rescue.device"):
-                results = self.local.run_align2()
-            for (pi, a, seq, rb, ref), aln in zip(batch_jobs, results):
-                mate_seq = pairs[pi][side]
+                out = self.local.run_align2()
+            results = dict(zip(batch_keys, out))
+
+        # replay the sequential skip/insert/dedup bookkeeping
+        for pi, lst in enumerate(attempts):
+            mate_seq = pairs[pi][side]
+            for ai, a in enumerate(lst):
+                if (pi, ai) not in windows:
+                    continue  # window invalid -> no SW, attempt still counted
+                if self._matesw_skip(a, mate_regs[pi]):
+                    continue
+                seq, rb, ref = windows[(pi, ai)]
+                aln = results.get((pi, ai))
+                if aln is None:
+                    # hint said skip but the evolved list disagrees (dedup
+                    # removed the proper mate): exact host oracle
+                    l_ms = len(mate_seq)
+                    xtra = (
+                        ksw.KSW_XSUBO
+                        | ksw.KSW_XSTART
+                        | (ksw.KSW_XBYTE if l_ms * opt.a < 250 else 0)
+                        | (opt.min_seed_len * opt.a)
+                    )
+                    aln = ksw.align2(
+                        seq, ref, self.mat, opt.o_del, opt.e_del,
+                        opt.o_ins, opt.e_ins, xtra,
+                    )
                 l_ms = len(mate_seq)
                 if aln.score >= opt.min_seed_len and aln.qb >= 0:
                     b = AlnReg()
@@ -220,21 +267,24 @@ class TpuEngine:
                 mate_regs[pi].clear()
                 mate_regs[pi].extend(deduped)
 
-    def _prepare_matesw(
-        self, anchor: AlnReg, mate_seq: np.ndarray, mate_regs: List[AlnReg]
-    ):
-        """The skip/window logic of mem_matesw for the FR orientation.
-        Returns (rev_seq, rb, ref) or None if no SW is needed."""
-        idx, opt, pes = self.idx, self.opt, self.cfg.pes
-        l_pac = idx.l_pac
-        l_ms = len(mate_seq)
-        skip = False
+    def _matesw_skip(self, anchor: AlnReg, mate_regs: List[AlnReg]) -> bool:
+        """mem_matesw's skip[] check for the FR orientation: a mate already
+        properly placed relative to the anchor makes the attempt free."""
+        pes = self.cfg.pes
+        l_pac = self.idx.l_pac
         for m in mate_regs:
             r, dist = infer_dir(l_pac, anchor.rb, m.rb)
             if r == 1 and pes.low <= dist <= pes.high:
-                skip = True
-        if skip:
-            return None
+                return True
+        return False
+
+    def _matesw_window(self, anchor: AlnReg, mate_seq: np.ndarray):
+        """The SW window of one rescue attempt — a pure function of the
+        anchor (FR orientation).  Returns (rev_seq, rb, ref) or None if the
+        attempt does no SW."""
+        idx, opt, pes = self.idx, self.opt, self.cfg.pes
+        l_pac = idx.l_pac
+        l_ms = len(mate_seq)
         # FR: is_rev=True, is_larger=True
         seq = np.array([3 - b if b < 4 else 4 for b in mate_seq[::-1]], dtype=np.uint8)
         rb = (anchor.rb + pes.low) - l_ms

@@ -111,7 +111,10 @@ def local_sw_batch_kernel(
 def _score2_from_rowmax(
     row_max: np.ndarray, tlen: int, score: int, te: int, minsc: int, max_mat: int
 ) -> Tuple[int, int]:
-    """Reconstruct the merged-run b-array second-best (ksw.c:192-227)."""
+    """Reconstruct the merged-run b-array second-best (ksw.c:192-227).
+
+    Host reference for score2_scan (the device formulation below); kept as
+    the spec and used by tests."""
     # the C merge keys on the entry's *stored* row (the row of the last
     # strict improvement): a row merges only if it directly follows it
     b: List[Tuple[int, int]] = []
@@ -130,6 +133,111 @@ def _score2_from_rowmax(
             if (e < low or e > high) and sc > score2:
                 score2, te2 = sc, e
     return score2, te2
+
+
+def score2_scan(
+    row_max: jnp.ndarray,   # (tmax, B) int32 per-row maxima
+    tlens: jnp.ndarray,     # (B,)
+    gmax: jnp.ndarray,      # (B,) forward-pass best score
+    te: jnp.ndarray,        # (B,) forward-pass best row
+    minscs: jnp.ndarray,    # (B,) b-array threshold (0x10000 = never)
+    max_mat: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The b-array second-best (ksw.c:192-227) as ONE device scan over
+    target rows, vectorized across the batch — the per-problem row_max
+    matrix never leaves the device.
+
+    The C merge automaton has a one-row memory: a qualifying row either
+    STARTS a new entry (previous row non-qualifying, or it was absorbed),
+    IMPROVES the open entry (strictly greater, consecutive), or is
+    ABSORBED (consecutive but not greater; the entry keeps its old stored
+    row, so the next row always starts fresh).  Entries are emitted in
+    creation order — when superseded, plus the final open one — and the
+    second best takes the first strict maximum outside [te-rng, te+rng],
+    matching the C loop exactly (_score2_from_rowmax is the spec;
+    tests/test_ops_local_global.py holds the two equal)."""
+    tmax, B = row_max.shape
+    rng = (gmax + max_mat - 1) // max_mat
+    low, high = te - rng, te + rng
+
+    def emit(best2, te2, ent_val, ent_row, do):
+        outside = (ent_row < low) | (ent_row > high)
+        better = do & outside & (ent_val > best2)
+        return (
+            jnp.where(better, ent_val, best2),
+            jnp.where(better, ent_row, te2),
+        )
+
+    def step(carry, inp):
+        v, i = inp
+        qual_prev, absorb_prev, ent_val, ent_row, open_, best2, te2 = carry
+        qual = (v >= minscs) & (i < tlens)
+        start = qual & (~qual_prev | absorb_prev)
+        cont = qual & qual_prev & ~absorb_prev
+        improve = cont & (v > ent_val)
+        absorb = cont & ~improve
+        # a new entry supersedes the open one -> the old entry is final
+        best2, te2 = emit(best2, te2, ent_val, ent_row, start & open_)
+        upd = start | improve
+        ent_val = jnp.where(upd, v, ent_val)
+        ent_row = jnp.where(upd, i, ent_row)
+        open_ = open_ | start
+        return (qual, absorb, ent_val, ent_row, open_, best2, te2), None
+
+    init = (
+        jnp.zeros((B,), bool),
+        jnp.zeros((B,), bool),
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), -1, jnp.int32),
+        jnp.zeros((B,), bool),
+        jnp.full((B,), -1, jnp.int32),
+        jnp.full((B,), -1, jnp.int32),
+    )
+    rows_i = jnp.arange(tmax, dtype=jnp.int32)
+    (_, _, ent_val, ent_row, open_, best2, te2), _ = jax.lax.scan(
+        step, init, (row_max, rows_i)
+    )
+    best2, te2 = emit(best2, te2, ent_val, ent_row, open_)
+    return best2, te2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qmax", "tmax", "o_del", "e_del", "o_ins", "e_ins", "max_mat"),
+)
+def local_sw_full_kernel(
+    qs, ts, qlens, tlens, endscs, minscs, mat,
+    qmax, tmax, o_del, e_del, o_ins, e_ins, max_mat,
+):
+    """Forward local SW + on-device second-best: (gmax, te, qe, s2, t2)."""
+    gmax, te, qe, row_max = local_sw_batch_kernel(
+        qs, ts, qlens, tlens, endscs, mat,
+        qmax, tmax, o_del, e_del, o_ins, e_ins,
+    )
+    s2, t2 = score2_scan(row_max, tlens, gmax, te, minscs, max_mat)
+    return gmax, te, qe, s2, t2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "qmax", "tmax", "a", "b", "o_del", "e_del", "o_ins", "e_ins",
+        "max_mat", "b_tile",
+    ),
+)
+def local_sw_full_pallas_packed(
+    qs_p, qs_n, ts_p, ts_n, qlens, tlens, endscs, minscs,
+    qmax, tmax, a, b, o_del, e_del, o_ins, e_ins, max_mat, b_tile,
+):
+    from .pallas_local import local_sw_batch_pallas_packed
+
+    gmax, te, qe, row_max = local_sw_batch_pallas_packed(
+        qs_p, qs_n, ts_p, ts_n, qlens, tlens, endscs,
+        qmax=qmax, tmax=tmax, a=a, b=b, o_del=o_del, e_del=e_del,
+        o_ins=o_ins, e_ins=e_ins, b_tile=b_tile,
+    )
+    s2, t2 = score2_scan(row_max, tlens, gmax, te, minscs, max_mat)
+    return gmax, te, qe, s2, t2
 
 
 class BatchLocalSW:
@@ -155,10 +263,19 @@ class BatchLocalSW:
 
     CHUNK = 1024  # fixed device batch: one compile per (qmax, tmax)
 
-    def _run_kernel(self, qs_list, ts_list, endscs):
+    def _run_kernel(self, qs_list, ts_list, endscs, minscs=None):
+        """Dispatch problems; returns (gmax, te, qe, score2, te2) arrays.
+
+        With ``minscs`` the b-array second-best runs ON DEVICE
+        (score2_scan) — the (tmax, B) row-max matrix never transfers;
+        without it score2/te2 come back as -1 (the reverse pass doesn't
+        need them but shares the jitted executables via minsc=never)."""
         B = len(qs_list)
         from .sw_extend import pad_batch
 
+        never = 0x10000
+        if minscs is None:
+            minscs = [never] * B
         qmax = max(self.qmax, -(-max((len(q) for q in qs_list), default=1) // 64) * 64)
         tmax = max(self.tmax, -(-max((len(t) for t in ts_list), default=1) // 64) * 64)
         # tlen-coherent tiles for the kernel's dynamic trip count; outputs
@@ -167,6 +284,7 @@ class BatchLocalSW:
         qs_list = [qs_list[i] for i in order]
         ts_list = [ts_list[i] for i in order]
         endscs = [endscs[i] for i in order]
+        minscs = [minscs[i] for i in order]
         chunk_outs = []
         for c0 in range(0, B, self.CHUNK):
             c1 = min(c0 + self.CHUNK, B)
@@ -180,8 +298,10 @@ class BatchLocalSW:
             ts = np.full((Bp, tmax), 4, np.int8)
             qlens = np.ones(Bp, np.int32)
             tlens = np.zeros(Bp, np.int32)
-            ends = np.full(Bp, 0x10000, np.int32)
+            ends = np.full(Bp, never, np.int32)
+            mins = np.full(Bp, never, np.int32)
             ends[:nb] = np.asarray(endscs[c0:c1], np.int32)
+            mins[:nb] = np.asarray(minscs[c0:c1], np.int32)
             for i in range(nb):
                 q, t = qs_list[c0 + i], ts_list[c0 + i]
                 qs[i, : len(q)] = q
@@ -190,40 +310,33 @@ class BatchLocalSW:
                 tlens[i] = len(t)
             if self.use_pallas:
                 from .packing import pack_codes
-                from .pallas_local import local_sw_batch_pallas_packed
 
                 qs_p, qs_n = pack_codes(qs)
                 ts_p, ts_n = pack_codes(ts)
-                out = local_sw_batch_pallas_packed(
+                out = local_sw_full_pallas_packed(
                     jnp.asarray(qs_p), jnp.asarray(qs_n),
                     jnp.asarray(ts_p), jnp.asarray(ts_n),
                     jnp.asarray(qlens), jnp.asarray(tlens), jnp.asarray(ends),
+                    jnp.asarray(mins),
                     qmax=qmax, tmax=tmax, a=self.opt.a, b=self.opt.b,
                     o_del=self.opt.o_del, e_del=self.opt.e_del,
                     o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
-                    b_tile=256,
+                    max_mat=self.max_mat, b_tile=256,
                 )
             else:
-                out = local_sw_batch_kernel(
+                out = local_sw_full_kernel(
                     jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
-                    jnp.asarray(ends), self.mat, qmax, tmax,
+                    jnp.asarray(ends), jnp.asarray(mins), self.mat, qmax, tmax,
                     self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
+                    self.max_mat,
                 )
             chunk_outs.append(([np.asarray(o) for o in out], nb))
         merged = []
         inv = np.empty(B, np.int64)
         inv[np.asarray(order)] = np.arange(B)
-        for j in range(4):
-            parts = []
-            for arrs, nb in chunk_outs:
-                a = arrs[j]
-                parts.append(a[:, :nb] if a.ndim > 1 else a[:nb])
-            cat = (
-                np.concatenate(parts, axis=1)
-                if parts[0].ndim > 1
-                else np.concatenate(parts)
-            )
-            merged.append(cat[:, inv] if cat.ndim > 1 else cat[inv])
+        for j in range(5):
+            parts = [arrs[j][:nb] for arrs, nb in chunk_outs]
+            merged.append(np.concatenate(parts)[inv])
         return merged
 
     def run_align2(self) -> List[KswResult]:
@@ -233,8 +346,9 @@ class BatchLocalSW:
         qs_list = [p[0] for p in self.problems]
         ts_list = [p[1] for p in self.problems]
         never = 0x10000
-        gmax, te, qe, row_max = self._run_kernel(
-            qs_list, ts_list, [never] * len(self.problems)
+        gmax, te, qe, score2, te2 = self._run_kernel(
+            qs_list, ts_list, [never] * len(self.problems),
+            minscs=[p[2] for p in self.problems],
         )
         results = []
         rev_q, rev_t, rev_stop, rev_ids = [], [], [], []
@@ -243,9 +357,8 @@ class BatchLocalSW:
             r.score = int(gmax[i])
             r.te = int(te[i])
             r.qe = int(qe[i])
-            r.score2, r.te2 = _score2_from_rowmax(
-                row_max[:, i], len(t), r.score, r.te, minsc, self.max_mat
-            )
+            r.score2 = int(score2[i])
+            r.te2 = int(te2[i])
             results.append(r)
             if r.score >= minsc and r.qe >= 0 and r.te >= 0:
                 rev_q.append(q[: r.qe + 1][::-1].copy())
@@ -253,7 +366,7 @@ class BatchLocalSW:
                 rev_stop.append(r.score)
                 rev_ids.append(i)
         if rev_ids:
-            g2, t2, q2, _ = self._run_kernel(rev_q, rev_t, rev_stop)
+            g2, t2, q2, _, _ = self._run_kernel(rev_q, rev_t, rev_stop)
             for k, i in enumerate(rev_ids):
                 r = results[i]
                 if int(g2[k]) == r.score:

@@ -54,19 +54,29 @@ def make_problems(rng, B, qlen, tlen):
     return qs, ts
 
 
-def timed(fn, ks=(1, 4)):
+def timed(fn, ks=(1, 8), trials=5):
     """Per-execution seconds: slope between k chained executions, each run
-    forced to completion by fetching the result."""
+    forced to completion by fetching the result.
+
+    The tunnel's round-trip latency is noisy (tens of ms of jitter), so a
+    single 2-point slope can even come out negative; per k we take the MIN
+    over several trials (min is the standard robust estimator for timing —
+    noise only ever adds time) and use a wide k spread so the real
+    per-execution cost dominates the residual jitter."""
+    fn_out = fn()  # compile
+    np.asarray(fn_out[0])
     times = {}
     for k in ks:
-        for _pass in range(2):  # first pass warms compile + transfer caches
+        best = float("inf")
+        for _trial in range(trials):
             t0 = time.perf_counter()
             out = None
             for _ in range(k):
                 out = fn()
             np.asarray(out[0])
-            times[k] = time.perf_counter() - t0
-    return (times[ks[1]] - times[ks[0]]) / (ks[1] - ks[0])
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+    return max((times[ks[1]] - times[ks[0]]) / (ks[1] - ks[0]), 1e-9)
 
 
 ROUND1_PAIRS_PER_SEC = 163.0  # steady state recorded in round 1 (VERDICT.md)

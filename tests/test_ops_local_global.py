@@ -77,3 +77,46 @@ class TestGlobalBatch:
         b.submit(q, q, 50)
         score, cig = b.run()[0]
         assert score == 80 and cig == [(0, 80)]
+
+
+class TestScore2Scan:
+    def test_matches_host_spec(self, rng):
+        """score2_scan (device b-array automaton) == _score2_from_rowmax
+        (the ksw.c:192-227 host spec) on adversarial row-max patterns:
+        plateaus, strict runs, isolated spikes, sub-threshold gaps."""
+        import jax.numpy as jnp
+
+        from arachne_tpu.ops.sw_local import _score2_from_rowmax, score2_scan
+
+        tmax, B, max_mat = 96, 64, int(MAT.max())
+        row = np.zeros((tmax, B), np.int32)
+        tlens = np.zeros(B, np.int32)
+        gmax = np.zeros(B, np.int32)
+        te = np.zeros(B, np.int32)
+        minscs = np.zeros(B, np.int32)
+        for i in range(B):
+            tlen = int(rng.integers(4, tmax + 1))
+            vals = rng.integers(0, 40, tlen).astype(np.int32)
+            # inject plateaus and strict ascents to hit every automaton arc
+            for _ in range(3):
+                s = int(rng.integers(0, tlen))
+                ln = int(rng.integers(1, 6))
+                v = int(rng.integers(10, 40))
+                vals[s : s + ln] = v
+            tlens[i] = tlen
+            row[:tlen, i] = vals
+            gmax[i] = int(vals.max())
+            te[i] = int(np.argmax(vals))
+            minscs[i] = int(rng.integers(1, 30))
+        s2, t2 = score2_scan(
+            jnp.asarray(row), jnp.asarray(tlens), jnp.asarray(gmax),
+            jnp.asarray(te), jnp.asarray(minscs), max_mat,
+        )
+        s2 = np.asarray(s2)
+        t2 = np.asarray(t2)
+        for i in range(B):
+            es, et = _score2_from_rowmax(
+                row[:, i], int(tlens[i]), int(gmax[i]), int(te[i]),
+                int(minscs[i]), max_mat,
+            )
+            assert (int(s2[i]), int(t2[i])) == (es, et), f"problem {i}"
