@@ -27,7 +27,7 @@ MEM_MINSC_COEF = 5.5
 MEM_SEEDSW_COEF = 0.05
 
 
-@dataclass
+@dataclass(slots=True)
 class Seed:
     """mem_seed_t: one seed occurrence on the fwd-rev reference."""
 
@@ -113,15 +113,77 @@ def _test_and_merge(opt: MemOptions, l_pac: int, c: Chain, s: Seed, seed_rid: in
     return False
 
 
+def _occ_rows(mems: List[SMEM], opt: MemOptions):
+    """The sampled SA rows of every seed occurrence (bwamem.c:282-287):
+    high-occ SMEMs are stride-sampled down to max_occ occurrences."""
+    all_rows: List[np.ndarray] = []
+    occ_slices: List[Tuple[int, int]] = []
+    off = 0
+    for p in mems:
+        step = p.s // opt.max_occ if p.s > opt.max_occ else 1
+        n_occ = min((p.s + step - 1) // step, opt.max_occ)
+        rows = p.k + np.arange(n_occ, dtype=np.int64) * step
+        all_rows.append(rows)
+        occ_slices.append((off, off + n_occ))
+        off += n_occ
+    return all_rows, occ_slices, off
+
+
+def mem_chain_batch(
+    idx: FMIndex,
+    reads: List[np.ndarray],
+    opt: MemOptions,
+    all_mems: List[List[SMEM]],
+) -> List[List[Chain]]:
+    """mem_chain over MANY reads with the SA walks + rid interval checks
+    flattened into ONE batched lookup across the whole read set (the
+    per-read batching in mem_chain still paid per-call numpy overhead
+    9600x per superbatch)."""
+    rows_flat: List[np.ndarray] = []
+    lens_flat: List[np.ndarray] = []
+    per_read: List[Tuple[List[Tuple[int, int]], int]] = []
+    for q, mems in zip(reads, all_mems):
+        if len(q) < opt.min_seed_len:
+            per_read.append(([], 0))
+            continue
+        rows, slices, n = _occ_rows(mems, opt)
+        per_read.append((slices, n))
+        rows_flat.extend(rows)
+        lens_flat.extend(
+            np.full(b - a, m.length, np.int64) for (a, b), m in zip(slices, mems)
+        )
+    rbegs = rids = np.empty(0, np.int64)
+    if rows_flat:
+        cat = np.concatenate(rows_flat)
+        rbegs = idx.sa(cat)
+        rids = idx.intv2rid(rbegs, rbegs + np.concatenate(lens_flat))
+    out: List[List[Chain]] = []
+    base = 0
+    for (q, mems), (slices, n) in zip(zip(reads, all_mems), per_read):
+        if len(q) < opt.min_seed_len:
+            out.append([])
+            continue
+        out.append(
+            mem_chain(
+                idx, q, opt, mems=mems,
+                occ_data=(slices, rbegs[base : base + n], rids[base : base + n]),
+            )
+        )
+        base += n
+    return out
+
+
 def mem_chain(
     idx: FMIndex,
     q: np.ndarray,
     opt: MemOptions,
     mems: Optional[List[SMEM]] = None,
+    occ_data=None,
 ) -> List[Chain]:
     """mem_chain (bwamem.c:251-315): SMEMs -> chains of co-linear seeds.
 
-    ``mems`` may be precomputed (e.g. by the wave-batched collector)."""
+    ``mems`` may be precomputed (e.g. by the wave-batched collector);
+    ``occ_data`` may carry pre-batched SA/rid lookups (mem_chain_batch)."""
     length = len(q)
     if length < opt.min_seed_len:
         return []
@@ -146,23 +208,18 @@ def mem_chain(
     positions: List[int] = []
     l_pac = idx.l_pac
     # batch all SA lookups + rid checks across every occurrence up front
-    all_rows: List[np.ndarray] = []
-    occ_slices: List[Tuple[int, int]] = []
-    off = 0
-    for p in mems:
-        step = p.s // opt.max_occ if p.s > opt.max_occ else 1
-        n_occ = min((p.s + step - 1) // step, opt.max_occ)
-        rows = p.k + np.arange(n_occ, dtype=np.int64) * step
-        all_rows.append(rows)
-        occ_slices.append((off, off + n_occ))
-        off += n_occ
-    if off:
-        flat_rows = np.concatenate(all_rows)
-        flat_rbegs = idx.sa(flat_rows)
-        lens = np.concatenate(
-            [np.full(b - a, m.length, np.int64) for (a, b), m in zip(occ_slices, mems)]
-        )
-        flat_rids = idx.intv2rid(flat_rbegs, flat_rbegs + lens)
+    if occ_data is not None:
+        occ_slices, flat_rbegs, flat_rids = occ_data
+        off = len(flat_rbegs)
+    else:
+        all_rows, occ_slices, off = _occ_rows(mems, opt)
+        if off:
+            flat_rows = np.concatenate(all_rows)
+            flat_rbegs = idx.sa(flat_rows)
+            lens = np.concatenate(
+                [np.full(b - a, m.length, np.int64) for (a, b), m in zip(occ_slices, mems)]
+            )
+            flat_rids = idx.intv2rid(flat_rbegs, flat_rbegs + lens)
     for pi, p in enumerate(mems):
         slen = p.length
         a, b = occ_slices[pi]

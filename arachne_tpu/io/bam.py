@@ -45,6 +45,12 @@ def revcomp_bytes(seq: bytes) -> bytes:
     return seq.translate(COMPLEMENT)[::-1]
 
 
+# qual transcoding as 256-byte translate tables (the per-byte Python
+# genexprs were the hottest lines of the writer)
+_QUAL_MINUS33 = bytes(max(v - 33, 0) for v in range(256))   # ASCII -> phred
+_QUAL_PLUS33 = bytes(min(v + 33, 255) for v in range(256))  # phred -> ASCII
+
+
 def reg2bin(beg: int, end: int) -> int:
     end -= 1
     if end < beg:
@@ -135,7 +141,7 @@ class BAMWriter:
             self.fh.write(
                 f"{name}\t{flags}\t{rname}\t{pos + 1}\t{mapq}\t{cig}\t{mname}\t"
                 f"{mate_pos + 1}\t{tlen}\t{seq.decode() or '*'}\t"
-                f"{''.join(chr(q + 33) for q in qual) or '*'}"
+                f"{qual.translate(_QUAL_PLUS33).decode() or '*'}"
                 + ("\t" + tags if tags else "")
                 + "\n"
             )
@@ -397,7 +403,7 @@ def encode_alignment(
         qual_raw = qual_raw[::-1]
     if primary is not aln:
         seq, qual_raw, cigar = hard_clip(seq, qual_raw, cigar)
-    qual = bytes(max(q - 33, 0) for q in qual_raw)
+    qual = qual_raw.translate(_QUAL_MINUS33)
     cigar_bam = [
         (CIGARTABLE[cigar[i]], cigar[i + 1]) for i in range(0, len(cigar), 2)
     ]

@@ -27,7 +27,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..align.chain import Chain, chain_filter, filter_chained_seeds, mem_chain
+from ..align.chain import Chain, chain_filter, filter_chained_seeds, mem_chain_batch
 from ..align.extend import AlnReg, cal_max_gap, chain2aln, sort_dedup_patch
 from ..config import MemOptions
 from ..index.fmindex import FMIndex
@@ -113,8 +113,8 @@ def batch_align_single(
     per_read_chains: List[List[Chain]] = []
     seed_probs: List[_SeedProblems] = []
     with TIMERS.stage("chain.host"):
-        for codes, mems in zip(reads, all_mems):
-            chains = mem_chain(idx, codes, opt, mems=mems)
+        chained = mem_chain_batch(idx, reads, opt, all_mems)
+        for codes, chains in zip(reads, chained):
             chains = chain_filter(opt, chains)
             filter_chained_seeds(idx, codes, chains, opt)
             per_read_chains.append(chains)

@@ -285,8 +285,9 @@ class TpuEngine:
         idx, opt, pes = self.idx, self.opt, self.cfg.pes
         l_pac = idx.l_pac
         l_ms = len(mate_seq)
-        # FR: is_rev=True, is_larger=True
-        seq = np.array([3 - b if b < 4 else 4 for b in mate_seq[::-1]], dtype=np.uint8)
+        # FR: is_rev=True, is_larger=True — vectorized reverse-complement
+        m = np.asarray(mate_seq)[::-1]
+        seq = np.where(m < 4, 3 - m, 4).astype(np.uint8)
         rb = (anchor.rb + pes.low) - l_ms
         re = anchor.rb + pes.high
         rb = max(rb, 0)

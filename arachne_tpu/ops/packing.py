@@ -46,3 +46,27 @@ def unpack_codes(packed: jnp.ndarray, nmask: jnp.ndarray, L: int) -> jnp.ndarray
          >> jnp.arange(8, dtype=jnp.uint32)[None, None, :]) & 1
     ).reshape(B, L)
     return jnp.where(nbits != 0, 4, codes).astype(jnp.int8)
+
+
+def bundle_seqs(qs: np.ndarray, ts: np.ndarray) -> np.ndarray:
+    """Pack a (query, target) code pair into ONE uint8 upload buffer.
+
+    Through the axon tunnel each host->device array transfer costs a
+    ~35 ms round trip REGARDLESS of size (measured), so a dispatch's cost
+    is dominated by its transfer count: bundling the four packed arrays
+    of a problem batch into one buffer (and the int32 scalars into one
+    (k, B) matrix at the call site) cuts a kernel dispatch from ~8
+    uploads + ~6 fetches to 2 uploads + 1 fetch."""
+    qs_p, qs_n = pack_codes(qs)
+    ts_p, ts_n = pack_codes(ts)
+    return np.concatenate([qs_p, qs_n, ts_p, ts_n], axis=1)
+
+
+def unbundle_seqs(u8: jnp.ndarray, qmax: int, tmax: int):
+    """Device-side inverse of bundle_seqs -> ((B, qmax), (B, tmax)) codes."""
+    qp, qn, tp = qmax // 4, qmax // 8, tmax // 4
+    qs = unpack_codes(u8[:, :qp], u8[:, qp : qp + qn], qmax)
+    ts = unpack_codes(
+        u8[:, qp + qn : qp + qn + tp], u8[:, qp + qn + tp :], tmax
+    )
+    return qs, ts

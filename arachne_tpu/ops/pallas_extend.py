@@ -327,3 +327,32 @@ def extend_batch_pallas_packed(
         o_ins=o_ins, e_ins=e_ins, zdrop=zdrop, b_tile=b_tile,
         interpret=interpret,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "qmax", "tmax", "a", "b", "o_del", "e_del", "o_ins", "e_ins",
+        "zdrop", "b_tile", "interpret",
+    ),
+)
+def extend_batch_pallas_bundled(
+    u8, meta,
+    *, qmax, tmax, a, b, o_del, e_del, o_ins, e_ins, zdrop,
+    b_tile=512, interpret=False,
+):
+    """Single-buffer transfer variant: ``u8`` is packing.bundle_seqs of
+    (qs, ts); ``meta`` stacks (qlens, tlens, ws, h0s) as (4, B) int32;
+    the 6 result vectors return as ONE (6, B) matrix.  Through the axon
+    tunnel each array transfer costs a fixed ~35 ms round trip, so the
+    2-upload/1-fetch shape is what makes a steady-state dispatch cheap."""
+    from .packing import unbundle_seqs
+
+    qs, ts = unbundle_seqs(u8, qmax, tmax)
+    out = extend_batch_pallas(
+        qs, ts, meta[0], meta[1], meta[2], meta[3],
+        qmax=qmax, tmax=tmax, a=a, b=b, o_del=o_del, e_del=e_del,
+        o_ins=o_ins, e_ins=e_ins, zdrop=zdrop, b_tile=b_tile,
+        interpret=interpret,
+    )
+    return jnp.stack(out, axis=0)

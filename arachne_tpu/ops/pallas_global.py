@@ -261,3 +261,29 @@ def global_batch_pallas_packed(
         o_ins=o_ins, e_ins=e_ins, want_z=want_z, b_tile=b_tile,
         t_chunk=t_chunk, interpret=interpret,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "qmax", "tmax", "a", "b", "o_del", "e_del", "o_ins", "e_ins",
+        "want_z", "b_tile", "t_chunk", "interpret",
+    ),
+)
+def global_batch_pallas_bundled(
+    u8, meta,
+    *, qmax, tmax, a, b, o_del, e_del, o_ins, e_ins,
+    want_z=True, b_tile=256, t_chunk=8, interpret=False,
+):
+    """Single-buffer transfer variant (see pallas_extend
+    extend_batch_pallas_bundled): u8 = bundle_seqs(qs, ts), meta stacks
+    (qlens, tlens, ws) as (3, B) int32."""
+    from .packing import unbundle_seqs
+
+    qs, ts = unbundle_seqs(u8, qmax, tmax)
+    return global_batch_pallas(
+        qs, ts, meta[0], meta[1], meta[2],
+        qmax=qmax, tmax=tmax, a=a, b=b, o_del=o_del, e_del=e_del,
+        o_ins=o_ins, e_ins=e_ins, want_z=want_z, b_tile=b_tile,
+        t_chunk=t_chunk, interpret=interpret,
+    )

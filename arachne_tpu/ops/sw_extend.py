@@ -306,16 +306,13 @@ class BatchExtender:
                 qlens[i] = len(q)
                 tlens[i] = len(t)
             if self.use_pallas:
-                from .packing import pack_codes
-                from .pallas_extend import extend_batch_pallas_packed
+                from .packing import bundle_seqs
+                from .pallas_extend import extend_batch_pallas_bundled
 
-                qs_p, qs_n = pack_codes(qs)
-                ts_p, ts_n = pack_codes(ts)
-                out = extend_batch_pallas_packed(
-                    jnp.asarray(qs_p), jnp.asarray(qs_n),
-                    jnp.asarray(ts_p), jnp.asarray(ts_n),
-                    jnp.asarray(qlens), jnp.asarray(tlens),
-                    jnp.asarray(ws), jnp.asarray(h0s),
+                u8 = bundle_seqs(qs, ts)
+                meta = np.stack([qlens, tlens, ws, h0s]).astype(np.int32)
+                out = extend_batch_pallas_bundled(
+                    jnp.asarray(u8), jnp.asarray(meta),
                     qmax=qmax, tmax=tmax, a=self.opt.a, b=self.opt.b,
                     o_del=self.opt.o_del, e_del=self.opt.e_del,
                     o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
@@ -329,7 +326,14 @@ class BatchExtender:
                     self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
                     self.opt.zdrop,
                 )
-            arrs = [np.asarray(o) for o in out]
+            from ..runtime.timers import TIMERS
+
+            with TIMERS.stage(f"extend.dispatch.{qmax}x{tmax}x{Bp}"):
+                if self.use_pallas:
+                    stacked = np.asarray(out)       # ONE (6, B) fetch
+                    arrs = [stacked[j] for j in range(6)]
+                else:
+                    arrs = [np.asarray(o) for o in out]
             results.extend(tuple(int(a[i]) for a in arrs) for i in range(nb))
         unsorted = [None] * B
         for k, i in enumerate(order):

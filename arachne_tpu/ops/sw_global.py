@@ -197,15 +197,13 @@ class BatchGlobal:
                 tlens[i] = len(t)
                 ws[i] = w
             if self.use_pallas:
-                from .packing import pack_codes
-                from .pallas_global import global_batch_pallas_packed
+                from .packing import bundle_seqs
+                from .pallas_global import global_batch_pallas_bundled
 
-                qs_p, qs_n = pack_codes(qs)
-                ts_p, ts_n = pack_codes(ts)
-                score, z = global_batch_pallas_packed(
-                    jnp.asarray(qs_p), jnp.asarray(qs_n),
-                    jnp.asarray(ts_p), jnp.asarray(ts_n),
-                    jnp.asarray(qlens), jnp.asarray(tlens), jnp.asarray(ws),
+                u8 = bundle_seqs(qs, ts)
+                meta = np.stack([qlens, tlens, ws]).astype(np.int32)
+                score, z = global_batch_pallas_bundled(
+                    jnp.asarray(u8), jnp.asarray(meta),
                     qmax=qmax, tmax=tmax, a=self.opt.a, b=self.opt.b,
                     o_del=self.opt.o_del, e_del=self.opt.e_del,
                     o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
@@ -218,9 +216,14 @@ class BatchGlobal:
                     self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
                     want_z=want_z,
                 )
-            scores.append(np.asarray(score)[:nb])
-            if want_z:
-                zs.append(np.asarray(z)[:, :, :nb])
+            from ..runtime.timers import TIMERS
+
+            with TIMERS.stage(
+                f"global.dispatch.{qmax}x{tmax}x{Bp}{'z' if want_z else ''}"
+            ):
+                scores.append(np.asarray(score)[:nb])
+                if want_z:
+                    zs.append(np.asarray(z)[:, :, :nb])
         inv = np.empty(B, np.int64)
         inv[np.asarray(order)] = np.arange(B)
         score_all = np.concatenate(scores)[inv]

@@ -240,6 +240,35 @@ def local_sw_full_pallas_packed(
     return gmax, te, qe, s2, t2
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "qmax", "tmax", "a", "b", "o_del", "e_del", "o_ins", "e_ins",
+        "max_mat", "b_tile", "interpret",
+    ),
+)
+def local_sw_full_pallas_bundled(
+    u8, meta,
+    qmax, tmax, a, b, o_del, e_del, o_ins, e_ins, max_mat, b_tile,
+    interpret=False,
+):
+    """Single-buffer transfer variant (see pallas_extend
+    extend_batch_pallas_bundled): u8 = packing.bundle_seqs(qs, ts), meta
+    stacks (qlens, tlens, endscs, minscs) as (4, B) int32; the five
+    result vectors return as ONE (5, B) matrix."""
+    from .packing import unbundle_seqs
+    from .pallas_local import local_sw_batch_pallas
+
+    qs, ts = unbundle_seqs(u8, qmax, tmax)
+    gmax, te, qe, row_max = local_sw_batch_pallas(
+        qs, ts, meta[0], meta[1], meta[2],
+        qmax=qmax, tmax=tmax, a=a, b=b, o_del=o_del, e_del=e_del,
+        o_ins=o_ins, e_ins=e_ins, b_tile=b_tile, interpret=interpret,
+    )
+    s2, t2 = score2_scan(row_max, meta[1], gmax, te, meta[3], max_mat)
+    return jnp.stack([gmax, te, qe, s2, t2], axis=0)
+
+
 class BatchLocalSW:
     """Batched ksw_align2: forward pass + reverse pass for coordinates."""
 
@@ -309,15 +338,12 @@ class BatchLocalSW:
                 qlens[i] = len(q)
                 tlens[i] = len(t)
             if self.use_pallas:
-                from .packing import pack_codes
+                from .packing import bundle_seqs
 
-                qs_p, qs_n = pack_codes(qs)
-                ts_p, ts_n = pack_codes(ts)
-                out = local_sw_full_pallas_packed(
-                    jnp.asarray(qs_p), jnp.asarray(qs_n),
-                    jnp.asarray(ts_p), jnp.asarray(ts_n),
-                    jnp.asarray(qlens), jnp.asarray(tlens), jnp.asarray(ends),
-                    jnp.asarray(mins),
+                u8 = bundle_seqs(qs, ts)
+                meta = np.stack([qlens, tlens, ends, mins]).astype(np.int32)
+                out = local_sw_full_pallas_bundled(
+                    jnp.asarray(u8), jnp.asarray(meta),
                     qmax=qmax, tmax=tmax, a=self.opt.a, b=self.opt.b,
                     o_del=self.opt.o_del, e_del=self.opt.e_del,
                     o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
@@ -330,7 +356,14 @@ class BatchLocalSW:
                     self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
                     self.max_mat,
                 )
-            chunk_outs.append(([np.asarray(o) for o in out], nb))
+            from ..runtime.timers import TIMERS
+
+            with TIMERS.stage(f"local.dispatch.{qmax}x{tmax}x{Bp}"):
+                if self.use_pallas:
+                    stacked = np.asarray(out)       # ONE (5, B) fetch
+                    chunk_outs.append(([stacked[j] for j in range(5)], nb))
+                else:
+                    chunk_outs.append(([np.asarray(o) for o in out], nb))
         merged = []
         inv = np.empty(B, np.int64)
         inv[np.asarray(order)] = np.arange(B)

@@ -204,3 +204,81 @@ class TestPacking:
         )
         for r, p in zip(raw, packed):
             assert np.array_equal(np.asarray(r), np.asarray(p))
+
+
+def test_bundled_entry_matches_raw():
+    """The single-buffer (2-upload/1-fetch) extend entry is bit-identical
+    to the raw-array entry: bundle_seqs/unbundle_seqs round the codes and
+    the (4, B) meta stack through one uint8 buffer."""
+    opt = MemOptions()
+    B, qmax, tmax = 64, 128, 192
+    qs, ts, qlens, tlens, ws, h0s = _random_problems(7, B, qmax, tmax, opt)
+    from arachne_tpu.ops.packing import bundle_seqs
+    from arachne_tpu.ops.pallas_extend import extend_batch_pallas_bundled
+
+    kw = dict(
+        qmax=qmax, tmax=tmax, a=opt.a, b=opt.b, o_del=opt.o_del,
+        e_del=opt.e_del, o_ins=opt.o_ins, e_ins=opt.e_ins, zdrop=opt.zdrop,
+    )
+    ref = extend_batch_pallas(
+        *[jnp.asarray(x) for x in (qs, ts, qlens, tlens, ws, h0s)],
+        **kw, b_tile=64, interpret=INTERPRET,
+    )
+    u8 = bundle_seqs(qs, ts)
+    meta = np.stack([qlens, tlens, ws, h0s]).astype(np.int32)
+    got = extend_batch_pallas_bundled(
+        jnp.asarray(u8), jnp.asarray(meta), **kw, b_tile=64,
+        interpret=INTERPRET,
+    )
+    got = np.asarray(got)
+    for j, (name, r) in enumerate(
+        zip(("score", "qle", "tle", "gtle", "gscore", "max_off"), ref)
+    ):
+        np.testing.assert_array_equal(np.asarray(r), got[j], err_msg=name)
+
+
+def test_bundled_local_full_matches_parts():
+    """local_sw_full_pallas_bundled == pallas local kernel + score2_scan."""
+    opt = MemOptions()
+    rng = np.random.default_rng(3)
+    B, qmax, tmax = 32, 64, 128
+    ts = rng.integers(0, 4, (B, tmax)).astype(np.int8)
+    qs = np.full((B, qmax), 4, np.int8)
+    qlens = np.zeros(B, np.int32)
+    tlens = np.zeros(B, np.int32)
+    for i in range(B):
+        ql = int(rng.integers(20, qmax + 1))
+        off = int(rng.integers(0, tmax - ql))
+        qs[i, :ql] = ts[i, off : off + ql]
+        qlens[i] = ql
+        tlens[i] = int(rng.integers(ql, tmax + 1))
+    ends = np.full(B, 0x10000, np.int32)
+    mins = np.full(B, opt.min_seed_len * opt.a, np.int32)
+    from arachne_tpu.ops.packing import bundle_seqs
+    from arachne_tpu.ops.pallas_local import local_sw_batch_pallas
+    from arachne_tpu.ops.sw_local import local_sw_full_pallas_bundled, score2_scan
+
+    max_mat = int(MemOptions().scoring_matrix().max())
+    gmax, te, qe, row_max = local_sw_batch_pallas(
+        *[jnp.asarray(x) for x in (qs, ts, qlens, tlens, ends)],
+        qmax=qmax, tmax=tmax, a=opt.a, b=opt.b, o_del=opt.o_del,
+        e_del=opt.e_del, o_ins=opt.o_ins, e_ins=opt.e_ins,
+        b_tile=32, interpret=INTERPRET,
+    )
+    s2, t2 = score2_scan(
+        row_max, jnp.asarray(tlens), gmax, te, jnp.asarray(mins), max_mat
+    )
+    u8 = bundle_seqs(qs, ts)
+    meta = np.stack([qlens, tlens, ends, mins]).astype(np.int32)
+    got = np.asarray(
+        local_sw_full_pallas_bundled(
+            jnp.asarray(u8), jnp.asarray(meta),
+            qmax=qmax, tmax=tmax, a=opt.a, b=opt.b, o_del=opt.o_del,
+            e_del=opt.e_del, o_ins=opt.o_ins, e_ins=opt.e_ins,
+            max_mat=max_mat, b_tile=32, interpret=INTERPRET,
+        )
+    )
+    for j, (name, r) in enumerate(
+        zip(("gmax", "te", "qe", "s2", "t2"), (gmax, te, qe, s2, t2))
+    ):
+        np.testing.assert_array_equal(np.asarray(r), got[j], err_msg=name)
