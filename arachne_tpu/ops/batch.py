@@ -155,10 +155,15 @@ def batch_align_single(
         aw = opt.w << band_try
         return not (res[0] == prev_score or res[5] < (aw >> 1) + (aw >> 2))
 
-    # wave 1: every seed's LEFT extension at the base band; the doubled
-    # band runs in a (small) second wave only for seeds whose try-0 result
-    # actually triggers the reference's retry — identical final choice,
-    # half the device problems on the common path.
+    # Extension rounds.  Round 1: every seed's LEFT extension at the base
+    # band.  The doubled-band retry (triggered only when try-0's max_off
+    # reached 3/4 of the band — rare) and the RIGHT extensions whose h0
+    # (= effective left score) is already known MERGE into one round-2
+    # dispatch; right extensions of retried seeds + right-side retries form
+    # round 3; a final tiny round 4 covers right retries from round 3.
+    # Identical outputs to the sequential band-doubling driver (the replay
+    # looks results up by problem content), but 3-4 dispatch rounds total
+    # instead of one device round trip per band try per side.
     wave1 = [
         (sp.left[0], sp.left[1], opt.w, opt.pen_clip5, sp.h0)
         for sp in seed_probs
@@ -166,41 +171,55 @@ def batch_align_single(
     ]
     if wave1:
         wave1_out = _run_wave(wave1)
-        retry1 = [
-            (qs, rs, opt.w << 1, eb, h0)
-            for (qs, rs, _w, eb, h0), res in zip(wave1, wave1_out)
-            if _needs_retry(res, -1, 0)
-        ]
-        if retry1:
-            _run_wave(retry1)
 
-    # wave 2: right extensions with sc0 from wave 1's effective band try
-    wave2: List[Tuple] = []
+    def _left_sc0(sp):
+        """Effective left score; None if its doubled-band try is pending."""
+        if sp.left is None:
+            return sp.h0
+        qs, rs = sp.left
+        res0 = cache[_problem_key(qs, rs, opt.w, opt.pen_clip5, sp.h0)]
+        if not _needs_retry(res0, -1, 0):
+            return res0[0]
+        key1 = _problem_key(qs, rs, opt.w << 1, opt.pen_clip5, sp.h0)
+        res1 = cache.get(key1)
+        return res1[0] if res1 is not None else None
+
+    round2: List[Tuple] = []
+    deferred: List[object] = []     # right extensions waiting on a left retry
+    right_submitted: List[Tuple] = []
     for sp in seed_probs:
-        if sp.right_parts is None:
-            continue
-        if sp.left is not None:
+        sc0 = _left_sc0(sp)
+        if sc0 is None:
             qs, rs = sp.left
-            res0 = cache[_problem_key(qs, rs, opt.w, opt.pen_clip5, sp.h0)]
-            if _needs_retry(res0, -1, 0):
-                sc0 = cache[
-                    _problem_key(qs, rs, opt.w << 1, opt.pen_clip5, sp.h0)
-                ][0]
-            else:
-                sc0 = res0[0]
-        else:
-            sc0 = sp.h0
+            round2.append((qs, rs, opt.w << 1, opt.pen_clip5, sp.h0))
+            if sp.right_parts is not None:
+                deferred.append(sp)
+        elif sp.right_parts is not None:
+            qt, rt = sp.right_parts
+            round2.append((qt, rt, opt.w, opt.pen_clip3, sc0))
+            right_submitted.append((qt, rt, opt.w, opt.pen_clip3, sc0))
+    if round2:
+        _run_wave(round2)
+
+    round3: List[Tuple] = []
+    for sp in deferred:
+        sc0 = _left_sc0(sp)
         qt, rt = sp.right_parts
-        wave2.append((qt, rt, opt.w, opt.pen_clip3, sc0))
-    if wave2:
-        wave2_out = _run_wave(wave2)
-        retry2 = [
+        round3.append((qt, rt, opt.w, opt.pen_clip3, sc0))
+    for p in right_submitted:
+        res = cache[_problem_key(*p)]
+        if _needs_retry(res, p[4], 0):
+            round3.append((p[0], p[1], opt.w << 1, p[3], p[4]))
+    if round3:
+        _run_wave(round3)
+        retry4 = [
             (qt, rt, opt.w << 1, eb, sc0)
-            for (qt, rt, _w, eb, sc0), res in zip(wave2, wave2_out)
-            if _needs_retry(res, sc0, 0)
+            for (qt, rt, w, eb, sc0) in round3
+            if w == opt.w
+            and _needs_retry(cache[_problem_key(qt, rt, w, eb, sc0)], sc0, 0)
         ]
-        if retry2:
-            _run_wave(retry2)
+        if retry4:
+            _run_wave(retry4)
 
     misses = [0]
 

@@ -393,24 +393,30 @@ class TpuEngine:
                         j.done = True
             active = next_active
 
-        # host finalization (bwa-side of mem_reg2aln)
-        results: List[MemAln] = []
-        for j in out_jobs:
+        # host finalization (bwa-side of mem_reg2aln); the depos/pos2rid
+        # coordinate conversions batch across all jobs (they were two tiny
+        # numpy calls per alignment)
+        mapped = [j for j in out_jobs if not (j.a.flag & 0x4)]
+        if mapped:
+            fpos_all, is_rev_all = idx.depos(
+                np.array(
+                    [
+                        j.ar.rb if j.ar.rb < idx.l_pac else j.ar.re - 1
+                        for j in mapped
+                    ],
+                    np.int64,
+                )
+            )
+        poses = np.zeros(len(mapped), np.int64)
+        for k, j in enumerate(mapped):
             a = j.a
-            if a.flag & 0x4:
-                results.append(a)
-                continue
             ar = j.ar
-            query = j.query
-            l_query = len(query)
+            l_query = len(j.query)
             a.NM = j.nm
             a.MD = j.md
             cigar = list(j.cigar) if j.cigar else []
-            fpos, is_rev = idx.depos(
-                np.array([ar.rb if ar.rb < idx.l_pac else ar.re - 1])
-            )
-            pos = int(fpos[0])
-            a.is_rev = bool(is_rev[0])
+            pos = int(fpos_all[k])
+            a.is_rev = bool(is_rev_all[k])
             if cigar:
                 if cigar[0][0] == OP_D:
                     pos += cigar[0][1]
@@ -425,11 +431,15 @@ class TpuEngine:
                 if clip3:
                     cigar = cigar + [(OP_S, clip3)]
             a.cigar = cigar
-            a.rid = int(idx.pos2rid(np.array([pos]))[0])
-            a.pos = pos - idx.packed.anns[a.rid].offset
-            a.score = ar.score
-            a.sub = max(ar.sub, ar.csub)
-            a.is_alt = ar.is_alt
-            a.alt_sc = ar.alt_sc
-            results.append(a)
-        return results
+            poses[k] = pos
+        if mapped:
+            rids = idx.pos2rid(poses)
+            for k, j in enumerate(mapped):
+                a, ar = j.a, j.ar
+                a.rid = int(rids[k])
+                a.pos = int(poses[k]) - idx.packed.anns[a.rid].offset
+                a.score = ar.score
+                a.sub = max(ar.sub, ar.csub)
+                a.is_alt = ar.is_alt
+                a.alt_sc = ar.alt_sc
+        return [j.a for j in out_jobs]

@@ -279,6 +279,7 @@ class BatchExtender:
         self.ws = [self.ws[i] for i in order]
         self.h0s = [self.h0s[i] for i in order]
         results = []
+        pending = []
         for c0 in range(0, B, self.CHUNK):
             c1 = min(c0 + self.CHUNK, B)
             nb = c1 - c0
@@ -326,9 +327,15 @@ class BatchExtender:
                     self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
                     self.opt.zdrop,
                 )
-            from ..runtime.timers import TIMERS
+            pending.append((out, nb))
 
-            with TIMERS.stage(f"extend.dispatch.{qmax}x{tmax}x{Bp}"):
+        # fetch AFTER all chunks are dispatched: the tunnel pipelines the
+        # in-flight executions, so k chunks cost ~1 round-trip wait + k
+        # executions instead of k full (dispatch+fetch) round trips
+        from ..runtime.timers import TIMERS
+
+        for out, nb in pending:
+            with TIMERS.stage(f"extend.dispatch.{qmax}x{tmax}"):
                 if self.use_pallas:
                     stacked = np.asarray(out)       # ONE (6, B) fetch
                     arrs = [stacked[j] for j in range(6)]

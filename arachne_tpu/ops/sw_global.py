@@ -176,6 +176,7 @@ class BatchGlobal:
         chunk = self.CHUNK_Z if want_z else self.CHUNK
         scores = []
         zs = []
+        pending = []
         for c0 in range(0, B, chunk):
             c1 = min(c0 + chunk, B)
             nb = c1 - c0
@@ -216,10 +217,14 @@ class BatchGlobal:
                     self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
                     want_z=want_z,
                 )
-            from ..runtime.timers import TIMERS
+            pending.append((score, z, nb))
 
+        # fetch after all chunks are in flight (pipelined tunnel RTTs)
+        from ..runtime.timers import TIMERS
+
+        for score, z, nb in pending:
             with TIMERS.stage(
-                f"global.dispatch.{qmax}x{tmax}x{Bp}{'z' if want_z else ''}"
+                f"global.dispatch.{qmax}x{tmax}{'z' if want_z else ''}"
             ):
                 scores.append(np.asarray(score)[:nb])
                 if want_z:

@@ -315,6 +315,7 @@ class BatchLocalSW:
         endscs = [endscs[i] for i in order]
         minscs = [minscs[i] for i in order]
         chunk_outs = []
+        pending = []
         for c0 in range(0, B, self.CHUNK):
             c1 = min(c0 + self.CHUNK, B)
             nb = c1 - c0
@@ -356,9 +357,13 @@ class BatchLocalSW:
                     self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
                     self.max_mat,
                 )
-            from ..runtime.timers import TIMERS
+            pending.append((out, nb))
 
-            with TIMERS.stage(f"local.dispatch.{qmax}x{tmax}x{Bp}"):
+        # fetch after all chunks are in flight (pipelined tunnel RTTs)
+        from ..runtime.timers import TIMERS
+
+        for out, nb in pending:
+            with TIMERS.stage(f"local.dispatch.{qmax}x{tmax}"):
                 if self.use_pallas:
                     stacked = np.asarray(out)       # ONE (5, B) fetch
                     chunk_outs.append(([stacked[j] for j in range(5)], nb))
