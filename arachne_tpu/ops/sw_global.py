@@ -142,7 +142,10 @@ def traceback(
 class BatchGlobal:
     """Batched bwa-style global alignment returning (score, cigar)."""
 
-    def __init__(self, opt: MemOptions, qmax: int = 160, tmax: int = 320):
+    def __init__(self, opt: MemOptions, qmax: int = 192, tmax: int = 320):
+        # qmax floor 192 (not 160): with <=192bp reads every dispatch of
+        # this kernel then shares ONE executable shape, so the tunnel's
+        # first-execution cost is paid once in warmup, never mid-run
         from .sw_extend import _pallas_available
 
         self.opt = opt

@@ -272,7 +272,10 @@ def local_sw_full_pallas_bundled(
 class BatchLocalSW:
     """Batched ksw_align2: forward pass + reverse pass for coordinates."""
 
-    def __init__(self, opt: MemOptions, qmax: int = 160, tmax: int = 768):
+    def __init__(self, opt: MemOptions, qmax: int = 192, tmax: int = 768):
+        # qmax floor 192 (not 160): with <=192bp reads every dispatch of
+        # this kernel then shares ONE executable shape, so the tunnel's
+        # first-execution cost is paid once in warmup, never mid-run
         from .sw_extend import _pallas_available
 
         self.opt = opt
