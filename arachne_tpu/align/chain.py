@@ -49,6 +49,10 @@ class Chain:
     first: int = -1
     is_alt: bool = False
     frac_rep: float = 0.0
+    # pre-fetched mem_chain2aln extension window (native chaining path);
+    # None -> chain2aln computes and fetches it itself
+    win_seq: Optional[np.ndarray] = None
+    win_rmax0: int = 0
 
     @property
     def qbeg(self) -> int:

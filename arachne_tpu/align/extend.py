@@ -95,24 +95,27 @@ def chain2aln(
     l_query = len(q)
     l_pac = idx.l_pac
 
-    # max possible span (rmax) over all seeds (:642-657)
-    rmax0, rmax1 = l_pac << 1, 0
-    for t in c.seeds:
-        b = t.rbeg - (t.qbeg + cal_max_gap(opt, t.qbeg))
-        e = t.rbeg + t.len + (
-            (l_query - t.qbeg - t.len) + cal_max_gap(opt, l_query - t.qbeg - t.len)
-        )
-        rmax0 = min(rmax0, b)
-        rmax1 = max(rmax1, e)
-    rmax0 = max(rmax0, 0)
-    rmax1 = min(rmax1, l_pac << 1)
-    if rmax0 < l_pac < rmax1:
-        if c.seeds[0].rbeg < l_pac:
-            rmax1 = l_pac
-        else:
-            rmax0 = l_pac
-    rseq, rid, rmax0, rmax1 = idx.fetch_seq(rmax0, c.seeds[0].rbeg, rmax1)
-    assert rid == c.rid
+    if c.win_seq is not None:
+        rseq, rmax0 = c.win_seq, c.win_rmax0
+    else:
+        # max possible span (rmax) over all seeds (:642-657)
+        rmax0, rmax1 = l_pac << 1, 0
+        for t in c.seeds:
+            b = t.rbeg - (t.qbeg + cal_max_gap(opt, t.qbeg))
+            e = t.rbeg + t.len + (
+                (l_query - t.qbeg - t.len) + cal_max_gap(opt, l_query - t.qbeg - t.len)
+            )
+            rmax0 = min(rmax0, b)
+            rmax1 = max(rmax1, e)
+        rmax0 = max(rmax0, 0)
+        rmax1 = min(rmax1, l_pac << 1)
+        if rmax0 < l_pac < rmax1:
+            if c.seeds[0].rbeg < l_pac:
+                rmax1 = l_pac
+            else:
+                rmax0 = l_pac
+        rseq, rid, rmax0, rmax1 = idx.fetch_seq(rmax0, c.seeds[0].rbeg, rmax1)
+        assert rid == c.rid
 
     # sort seed indices by (score, index) ascending, process descending
     srt = sorted(range(len(c.seeds)), key=lambda i: (c.seeds[i].score << 32) | i)

@@ -41,6 +41,7 @@ class FMIndex:
         self._words = fm.bwt_words
         self._occ = fm.occ
         self._offsets = packed.contig_offsets()
+        self._lengths = np.array([a.length for a in packed.anns], dtype=np.int64)
         self._name_to_rid = {a.name: i for i, a in enumerate(packed.anns)}
 
     # ------------------------------------------------------------------
@@ -240,9 +241,13 @@ class FMIndex:
         beg = max(beg, 0)
         if beg < self.l_pac < end:
             return np.empty(0, dtype=np.uint8)
+        cached = self._fwd_codes()
         if beg >= self.l_pac:
-            fwd = unpack_2bit(self.packed.pac, (self.l_pac << 1) - end, (self.l_pac << 1) - beg)
+            b, e = (self.l_pac << 1) - end, (self.l_pac << 1) - beg
+            fwd = cached[b:e] if cached is not None else unpack_2bit(self.packed.pac, b, e)
             return (3 - fwd[::-1]).astype(np.uint8)
+        if cached is not None:
+            return cached[beg:end]
         return unpack_2bit(self.packed.pac, beg, end)
 
     def fetch_seq(self, beg: int, mid: int, end: int) -> Tuple[np.ndarray, int, int, int]:
@@ -260,6 +265,61 @@ class FMIndex:
         beg = max(beg, far_beg)
         end = min(end, far_end)
         return self.get_seq(beg, end), rid, beg, end
+
+    # Unpacked forward-strand cache: trades 1 byte/base of host RAM for
+    # O(1) window slicing (the per-window 2-bit unpack was ~15% of the
+    # chaining stage).  Gated by size so multi-Gbp genomes keep the 2-bit
+    # footprint; override with ARACHNE_UNPACK_MAX (bases).
+    _UNPACK_MAX_DEFAULT = 1 << 28
+
+    def _fwd_codes(self) -> Optional[np.ndarray]:
+        cached = getattr(self, "_fwd_cache", None)
+        if cached is not None:
+            return cached if cached.size else None
+        import os
+
+        limit = int(os.environ.get("ARACHNE_UNPACK_MAX", self._UNPACK_MAX_DEFAULT))
+        if self.l_pac > limit:
+            self._fwd_cache = np.empty(0, dtype=np.uint8)
+            return None
+        self._fwd_cache = unpack_2bit(self.packed.pac, 0, self.l_pac)
+        return self._fwd_cache
+
+    def fetch_seq_batch(self, begs, mids, ends):
+        """Vectorized bns_fetch_seq over many windows: clamp each [beg,end)
+        to the contig containing mid; returns (seqs, rids, begs, ends) with
+        seqs a list of uint8 arrays."""
+        begs = np.asarray(begs, dtype=np.int64).copy()
+        ends = np.asarray(ends, dtype=np.int64).copy()
+        swap = ends < begs
+        if swap.any():
+            b = begs[swap]
+            begs[swap] = ends[swap]
+            ends[swap] = b
+        fmid, is_rev = self.depos(np.asarray(mids, dtype=np.int64))
+        rids = self.pos2rid(fmid)
+        offs = self._offsets[rids]
+        lens = self._lengths[rids]
+        two_lp = self.l_pac << 1
+        far_beg = np.where(is_rev, two_lp - (offs + lens), offs)
+        far_end = np.where(is_rev, two_lp - offs, offs + lens)
+        begs = np.maximum(begs, far_beg)
+        ends = np.minimum(ends, far_end)
+        fwd = self._fwd_codes()
+        seqs = []
+        if fwd is not None:
+            for b, e in zip(begs, ends):
+                b = int(b); e = int(e)
+                if e <= b:
+                    seqs.append(np.empty(0, dtype=np.uint8))
+                elif b >= self.l_pac:
+                    seqs.append((3 - fwd[two_lp - e : two_lp - b][::-1]).astype(np.uint8))
+                else:
+                    seqs.append(fwd[b:e])
+        else:
+            for b, e in zip(begs, ends):
+                seqs.append(self.get_seq(int(b), int(e)))
+        return seqs, rids, begs, ends
 
     def get_contig_seq(self, chrom: str, start: int, end: int, reversed_: bool = False) -> np.ndarray:
         """GoBwaReference.GetSeq semantics (gobwa.go:50-80): fetch [start,

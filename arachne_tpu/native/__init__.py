@@ -19,7 +19,7 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-_SOURCES = ["sais.cpp", "smem.cpp"]
+_SOURCES = ["sais.cpp", "smem.cpp", "chain.cpp"]
 
 
 def _build() -> Optional[str]:
@@ -39,12 +39,24 @@ def _build() -> Optional[str]:
         return None
 
 
+def _fresh() -> bool:
+    """The cached .so is newer than every source file."""
+    if not os.path.exists(_LIB_PATH):
+        return False
+    so_m = os.path.getmtime(_LIB_PATH)
+    for s in _SOURCES:
+        p = os.path.join(_DIR, s)
+        if os.path.exists(p) and os.path.getmtime(p) > so_m:
+            return False
+    return True
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    path = _LIB_PATH if os.path.exists(_LIB_PATH) else _build()
+    path = _LIB_PATH if _fresh() else _build()
     if path is None:
         return None
     try:
@@ -88,6 +100,28 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.smem_collect_batch.restype = ctypes.c_int
         except AttributeError:
             pass  # stale .so without smem support; sais still usable
+        try:
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            lib.chain_batch.argtypes = [
+                i64p, i32p, i32p, i64p,          # mem_s/qb/qe, mem_off
+                i64p, i64p, i32p, i32p, i64p,    # occ rbeg/rid/qbeg/len, occ_off
+                i32p,                            # qlen
+                ctypes.c_int32, ctypes.c_int64,  # n_reads, l_pac
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,   # w, gap, max_occ
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,   # min_w, min_seed, max_ext
+                ctypes.c_double, ctypes.c_double,                  # mask, drop
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,   # a, o_del, e_del
+                ctypes.c_int32, ctypes.c_int32,                    # o_ins, e_ins
+                i32p,                            # out_nchains
+                i64p, i32p, i32p, i32p, f32p, i32p,   # chain pos/rid/w/kept/frac/nseeds
+                i64p, i64p, i32p,                # rmax0, rmax1, seed_idx
+                ctypes.c_int32,                  # n_threads
+            ]
+            lib.chain_batch.restype = ctypes.c_int
+        except AttributeError:
+            pass  # stale .so without chain support
         _lib = lib
     except Exception:
         _lib = None
@@ -97,6 +131,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
 def smem_available() -> bool:
     lib = get_lib()
     return lib is not None and hasattr(lib, "smem_collect_batch")
+
+
+def chain_available() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "chain_batch")
 
 
 def sais_available() -> bool:

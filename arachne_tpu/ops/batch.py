@@ -51,6 +51,8 @@ class _SeedProblems:
 
 def _chain_window(idx: FMIndex, q: np.ndarray, c: Chain, opt: MemOptions):
     """The rmax/rseq construction of mem_chain2aln (bwamem.c:642-659)."""
+    if c.win_seq is not None:
+        return c.win_seq, c.win_rmax0
     l_query = len(q)
     l_pac = idx.l_pac
     rmax0, rmax1 = l_pac << 1, 0
@@ -113,9 +115,15 @@ def batch_align_single(
     per_read_chains: List[List[Chain]] = []
     seed_probs: List[_SeedProblems] = []
     with TIMERS.stage("chain.host"):
-        chained = mem_chain_batch(idx, reads, opt, all_mems)
+        from ..align.chain_native import mem_chain_batch_native
+
+        chained = mem_chain_batch_native(idx, reads, opt, all_mems)
+        prefiltered = chained is not None
+        if chained is None:
+            chained = mem_chain_batch(idx, reads, opt, all_mems)
         for codes, chains in zip(reads, chained):
-            chains = chain_filter(opt, chains)
+            if not prefiltered:
+                chains = chain_filter(opt, chains)
             filter_chained_seeds(idx, codes, chains, opt)
             per_read_chains.append(chains)
             l_query = len(codes)

@@ -195,3 +195,44 @@ class TestPairRescue:
         # local SW clips mutated edge bases, so allow one mutation period
         contig_off = idx.packed.anns[best2.rid].offset
         assert abs((best2.aend + 1) - (pos + 180 - contig_off)) <= 12
+
+
+class TestChainNative:
+    def test_chain_native_parity(self, ref, rng):
+        """Native chain_batch == Python mem_chain+chain_filter chain-for-chain,
+        seed-for-seed, including the pre-fetched extension window."""
+        from arachne_tpu.align.chain import mem_chain_batch, chain_filter
+        from arachne_tpu.align.chain_native import mem_chain_batch_native
+        from arachne_tpu.native import chain_available
+        from arachne_tpu.ops.batch import _chain_window
+
+        if not chain_available():
+            pytest.skip("native chain library unavailable")
+        idx, fwd = ref
+        reads = []
+        r = np.random.default_rng(42)
+        for _ in range(60):
+            pos, codes = sample_read(r, fwd, int(r.integers(30, 150)))
+            codes = codes.copy()
+            nmut = int(r.integers(0, 5))
+            for m in r.integers(0, len(codes), nmut):
+                codes[m] = (codes[m] + 1) % 4
+            if r.random() < 0.5:
+                codes = revcomp(codes)
+            reads.append(codes)
+        reads.append(np.zeros(5, np.uint8))  # below min_seed_len
+        all_mems = [collect_seeds(idx, q, OPT) for q in reads]
+        nat = mem_chain_batch_native(idx, reads, OPT, all_mems)
+        py = [chain_filter(OPT, c) for c in mem_chain_batch(idx, reads, OPT, all_mems)]
+        assert nat is not None
+        for q, cn, cp in zip(reads, nat, py):
+            assert len(cn) == len(cp)
+            for a, b in zip(cn, cp):
+                assert (a.pos, a.rid, a.w, a.kept) == (b.pos, b.rid, b.w, b.kept)
+                assert abs(a.frac_rep - b.frac_rep) < 1e-6
+                assert [(s.rbeg, s.qbeg, s.len, s.score) for s in a.seeds] == [
+                    (s.rbeg, s.qbeg, s.len, s.score) for s in b.seeds
+                ]
+                ws, w0 = _chain_window(idx, q, b, OPT)
+                assert a.win_rmax0 == w0
+                assert np.array_equal(a.win_seq, ws)
