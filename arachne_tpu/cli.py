@@ -210,6 +210,38 @@ def run_align(args) -> None:
                 f"doing RFA: {res.ran_rfa}  unique_barcode {unique}"
             )
 
+    # dedicated writer thread fed by a bounded queue (the reference's
+    # BamThread goroutine + Data channel, bamwriter.go:619-633): BGZF
+    # deflate + record packing overlap result consumption instead of
+    # serializing with it.  Queue order == emission order, so output
+    # stays byte-deterministic; checkpoint mark_done runs on the writer
+    # thread AFTER the dump so manifests never lead the data.
+    import queue as _queue
+    import threading as _threading
+
+    emit_q: "_queue.Queue" = _queue.Queue(maxsize=64)
+    writer_exc: list = []
+
+    def _writer_loop():
+        while True:
+            item = emit_q.get()
+            if item is None:
+                return
+            if writer_exc:
+                continue  # drain after failure; producers must not block
+            try:
+                emit(*item)
+            except BaseException as e:  # noqa: BLE001 - reraised in main
+                writer_exc.append(e)
+
+    writer_thread = _threading.Thread(target=_writer_loop, name="bam-writer")
+    writer_thread.start()
+
+    def emit_async(res, n_records, unique):
+        if writer_exc:
+            raise writer_exc[0]
+        emit_q.put((res, n_records, unique))
+
     if engine is not None:
         # superbatch pipeline: host phases of batch N overlap the device
         # waits of batch N+1 (device calls release the GIL); results are
@@ -253,16 +285,20 @@ def run_align(args) -> None:
                 while len(futures) > cfg.pipeline.num_workers:
                     fut, b = futures.pop(0)
                     for res, (recs, uniq) in zip(fut.result(), b):
-                        emit(res, len(recs), uniq)
+                        emit_async(res, len(recs), uniq)
             for fut, b in futures:
                 for res, (recs, uniq) in zip(fut.result(), b):
-                    emit(res, len(recs), uniq)
+                    emit_async(res, len(recs), uniq)
     else:
         for records, unique in stream:
             res = do_rfa_for_one_barcode(
                 idx, cfg, records, unique, centromeres, extender=None
             )
-            emit(res, len(records), unique)
+            emit_async(res, len(records), unique)
+    emit_q.put(None)
+    writer_thread.join()
+    if writer_exc:
+        raise writer_exc[0]
     # final manifest first (flushes writers for offsets), then close
     stream.finish()
     bams.close()

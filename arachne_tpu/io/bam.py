@@ -48,7 +48,9 @@ def revcomp_bytes(seq: bytes) -> bytes:
 # qual transcoding as 256-byte translate tables (the per-byte Python
 # genexprs were the hottest lines of the writer)
 _QUAL_MINUS33 = bytes(max(v - 33, 0) for v in range(256))   # ASCII -> phred
-_QUAL_PLUS33 = bytes(min(v + 33, 255) for v in range(256))  # phred -> ASCII
+# phred -> ASCII, clamped at phred 93 ('~') like the binary path below, so
+# malformed high quals stay printable ASCII (decode() would raise otherwise)
+_QUAL_PLUS33 = bytes(min(v, 93) + 33 for v in range(256))
 
 
 def reg2bin(beg: int, end: int) -> int:

@@ -147,14 +147,26 @@ def batch_align_single(
 
     cache: Dict[Tuple, Tuple] = {}
 
-    def _run_wave(probs: List[Tuple]) -> List[Tuple]:
+    def _run_wave(probs: List[Tuple]) -> None:
+        """Dispatch the wave's problems, deduplicated by content: seeds
+        sharing an identical problem (same qs/rs/w/h0) would otherwise each
+        occupy a device batch slot; results land in the shared cache."""
+        uniq: List[Tuple] = []
+        seen = set()
         for p in probs:
+            key = _problem_key(*p)
+            if key in seen or key in cache:
+                continue
+            seen.add(key)
+            uniq.append(p)
+        if not uniq:
+            return
+        for p in uniq:
             extender_batch.submit(*p)
         with TIMERS.stage("extend.device"):
             out = extender_batch.run()
-        for p, res in zip(probs, out):
+        for p, res in zip(uniq, out):
             cache[_problem_key(*p)] = res
-        return out
 
     def _needs_retry(res: Tuple, prev_score: int, band_try: int) -> bool:
         """The band-doubling continue condition (bwamem.c:723-733, replayed
@@ -178,7 +190,7 @@ def batch_align_single(
         if sp.left is not None
     ]
     if wave1:
-        wave1_out = _run_wave(wave1)
+        _run_wave(wave1)
 
     def _left_sc0(sp):
         """Effective left score; None if its doubled-band try is pending."""

@@ -195,17 +195,22 @@ class TpuEngine:
         # replay against the evolving list; in the rare case dedup removed
         # the hint's proper mate, the replay falls back to the (bit-
         # identical, tests/test_ops.py) host oracle for that one attempt.
-        windows: Dict[Tuple[int, int], Tuple] = {}  # (pi, ai) -> (seq, rb, ref)
+        # windows are built lazily: eagerly only for attempts the hint
+        # doesn't skip (the common well-paired case pays nothing), and on
+        # demand in the replay's rare hint-miss branch.  May hold None for
+        # an invalid window.
+        windows: Dict[Tuple[int, int], Optional[Tuple]] = {}
         batch_keys = []
         for pi, lst in enumerate(attempts):
             mate_seq = pairs[pi][side]
             hint_regs = mate_regs[pi]
             for ai, a in enumerate(lst):
+                if self._matesw_skip(a, hint_regs):
+                    continue
                 win = self._matesw_window(a, mate_seq)
+                windows[(pi, ai)] = win
                 if win is not None:
-                    windows[(pi, ai)] = win
-                    if not self._matesw_skip(a, hint_regs):
-                        batch_keys.append((pi, ai))
+                    batch_keys.append((pi, ai))
         results: Dict[Tuple[int, int], object] = {}
         if batch_keys:
             from ..runtime.timers import TIMERS
@@ -221,11 +226,16 @@ class TpuEngine:
         for pi, lst in enumerate(attempts):
             mate_seq = pairs[pi][side]
             for ai, a in enumerate(lst):
-                if (pi, ai) not in windows:
-                    continue  # window invalid -> no SW, attempt still counted
                 if self._matesw_skip(a, mate_regs[pi]):
                     continue
-                seq, rb, ref = windows[(pi, ai)]
+                if (pi, ai) in windows:
+                    win = windows[(pi, ai)]
+                else:
+                    # hint said skip but the evolved list disagrees
+                    win = self._matesw_window(a, mate_seq)
+                if win is None:
+                    continue  # window invalid -> no SW, attempt still counted
+                seq, rb, ref = win
                 aln = results.get((pi, ai))
                 if aln is None:
                     # hint said skip but the evolved list disagrees (dedup

@@ -103,7 +103,7 @@ class ShardedFMTables:
     DeviceFMIndex (ops/fm_rank.py)."""
 
     def __init__(self, idx, mesh: Mesh, index_axis: str = "data"):
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         from ..ops.fm_rank import DeviceFMIndex, occ4_device
 
@@ -161,7 +161,7 @@ class ShardedFMTables:
         )
 
     def _shard_jit(self, key, fn, n_batch_args):
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         cached = self._cache.get(key)
         if cached is None:
