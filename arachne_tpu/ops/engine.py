@@ -11,6 +11,7 @@ with device results in hand.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -66,27 +67,35 @@ class TpuEngine:
             platform = jax.devices()[0].platform
             tunneled = os.environ.get("JAX_PLATFORMS", "") == "axon"
             device_seeding = platform in ("cpu", "tpu") and not tunneled
-        if device_seeding and idx.seq_len < (1 << 31):
+        if device_seeding:
             import jax
 
             mode = getattr(cfg.pipeline, "index_mode", "auto")
             n_dev = len(jax.devices())
+            # genomes >= 2^31 rows ride the wide (int64) rank path; their
+            # tables are also what makes sharding worthwhile
+            wide = idx.seq_len >= (1 << 31)
+            blocks = -(-idx.seq_len // 128)
+            table_bytes = blocks * 4 * (8 if wide else 4) + blocks * 8 * 4
             if mode == "auto":
-                # shard only when the replicated tables would be heavy
-                # relative to a 16 GB HBM chip (occ+words ~ 0.28 B/row)
+                # shard exactly when the replicated tables would not fit
+                # the per-chip HBM budget (default 8 GB of a 16 GB v5e,
+                # leaving room for batches + compiled programs); override
+                # with ARACHNE_HBM_BUDGET bytes
+                budget = int(os.environ.get("ARACHNE_HBM_BUDGET", 8 << 30))
                 mode = (
                     "sharded"
-                    if n_dev > 1 and idx.seq_len > (1 << 33)
+                    if n_dev > 1 and table_bytes > budget
                     else "replicated"
                 )
             if mode == "sharded" and n_dev > 1:
                 from ..parallel.mesh import ShardedFMTables, make_mesh
 
-                self.dfm = ShardedFMTables(idx, make_mesh())
+                self.dfm = ShardedFMTables(idx, make_mesh(), wide=wide)
             else:
                 from .fm_rank import DeviceFMIndex
 
-                self.dfm = DeviceFMIndex.from_host(idx)
+                self.dfm = DeviceFMIndex.from_host(idx, wide=wide)
 
     def warmup(self) -> None:
         """Execute every device kernel once at its production batch shape.

@@ -6,8 +6,11 @@ The planar index layout (index/build.py) uploads directly: ``occ``
 checkpoint row + 8 words, lane-sliced popcounts, and the standard
 bit-trick character match (bwt.c:98-105 __occ_aux) — all VPU work.
 
-Genomes up to 2^31 bases (fwd+rev) use int32 coordinates; larger genomes
-need jax x64 (documented limitation for this round).
+Row coordinates and checkpoint counters are int32 for genomes under 2^31
+rows (fwd+rev) and int64 above (the "wide" mode: GRCh38 fwd+rev is ~6.2G
+rows).  Wide mode needs jax x64 enabled (ops.engine does this when it
+loads a big index); everything downstream keys off the occ table's dtype,
+so the same jitted programs serve both widths as separate specializations.
 """
 
 from __future__ import annotations
@@ -42,13 +45,24 @@ class DeviceFMIndex:
     rows: int = 0           # local rows (static)
     axis: object = None     # mesh axis name for the psum
 
+    @property
+    def idt(self):
+        """Row-coordinate dtype: int64 iff the tables are wide."""
+        return jnp.int64 if self.occ.dtype == jnp.int64 else jnp.int32
+
     @staticmethod
-    def from_host(idx: FMIndex) -> "DeviceFMIndex":
-        assert idx.seq_len < (1 << 31), "int32 device path; enable x64 for larger"
+    def from_host(idx: FMIndex, wide: bool = None) -> "DeviceFMIndex":
+        if wide is None:
+            wide = idx.seq_len >= (1 << 31)
+        if wide:
+            import jax as _jax
+
+            _jax.config.update("jax_enable_x64", True)
+        it = np.int64 if wide else np.int32
         return DeviceFMIndex(
-            occ=jnp.asarray(idx.fm.occ.astype(np.int32)),
+            occ=jnp.asarray(idx.fm.occ.astype(it)),
             words=jnp.asarray(idx.fm.bwt_words),
-            L2=jnp.asarray(idx.fm.L2.astype(np.int32)),
+            L2=jnp.asarray(idx.fm.L2.astype(it)),
             primary=int(idx.primary),
             seq_len=int(idx.seq_len),
             l_pac=int(idx.l_pac),
@@ -63,10 +77,11 @@ def occ4_device(fm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
 
     Handles the reference's row conventions: k == -1 -> 0,
     k == seq_len -> L2[c+1]-L2[c] (bwt.c:169-186)."""
-    k = k.astype(jnp.int32)
+    idt = fm.idt
+    k = k.astype(idt)
     at_end = k == fm.seq_len
     neg = k == -1
-    kk = jnp.clip(k - (k >= fm.primary).astype(jnp.int32), 0, fm.seq_len - 1)
+    kk = jnp.clip(k - (k >= fm.primary).astype(idt), 0, fm.seq_len - 1)
     block = kk >> 7
     widx = jnp.arange(8, dtype=jnp.int32)
     if fm.axis is not None:
@@ -102,7 +117,7 @@ def occ4_device(fm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
         sel_hi = y if (c & 2) else ny
         sel_lo = y if (c & 1) else ny
         t = (sel_hi >> jnp.uint32(1)) & sel_lo & jnp.uint32(_LANE)
-        cnt = jax.lax.population_count(t).astype(jnp.int32).sum(axis=-1)
+        cnt = jax.lax.population_count(t).astype(idt).sum(axis=-1)
         if c == 0:
             cnt = cnt - (16 - nvalid).sum(axis=-1)
         cnts.append(cnt)
@@ -110,7 +125,7 @@ def occ4_device(fm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     if fm.axis is not None:
         res = jax.lax.psum(jnp.where(mine[..., None], res, 0), fm.axis)
     res = jnp.where(neg[..., None], 0, res)
-    end_vals = (fm.L2[1:5] - fm.L2[0:4]).astype(jnp.int32)
+    end_vals = (fm.L2[1:5] - fm.L2[0:4]).astype(idt)
     res = jnp.where(at_end[..., None], end_vals, res)
     return res
 
@@ -128,7 +143,7 @@ def extend_device(
     tl = occ4_device(fm, xb - 1 + x2)
     ok_b = fm.L2[:4] + 1 + tk
     ok_s = tl - tk
-    hit_primary = ((xb <= fm.primary) & (xb + x2 - 1 >= fm.primary)).astype(jnp.int32)
+    hit_primary = ((xb <= fm.primary) & (xb + x2 - 1 >= fm.primary)).astype(fm.idt)
     o3 = (x1 if is_back else x0) + hit_primary
     o2 = o3 + ok_s[..., 3]
     o1 = o2 + ok_s[..., 2]

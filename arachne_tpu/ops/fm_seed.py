@@ -57,7 +57,11 @@ def _smem_pass_program(
     x -> ret(x) is followed to the end of each read (pass 1).
 
     ``fm`` may be a global-table DeviceFMIndex or a shard-local one (then
-    this runs inside a shard_map and every occ4 psums over fm.axis)."""
+    this runs inside a shard_map and every occ4 psums over fm.axis).
+
+    All integer state rides fm.idt (int32, or int64 for wide tables —
+    genomes >= 2^31 rows), set by shadowing I32 locally."""
+    I32 = fm.idt
     qsT = qs.astype(I32)
 
     st = dict(
@@ -326,6 +330,7 @@ def _pass3_program(
     MAXS: int,
 ):
     """bwt_seed_strategy1 pivot chains (bwt.c:358-379) in lockstep."""
+    I32 = fm.idt
     qsT = qs.astype(I32)
 
     def get_code(x):

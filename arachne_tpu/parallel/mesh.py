@@ -102,22 +102,28 @@ class ShardedFMTables:
     jitted while_loops become local-lookup + psum via the shard-aware
     DeviceFMIndex (ops/fm_rank.py)."""
 
-    def __init__(self, idx, mesh: Mesh, index_axis: str = "data"):
+    def __init__(self, idx, mesh: Mesh, index_axis: str = "data", wide: bool = None):
         from jax import shard_map
 
         from ..ops.fm_rank import DeviceFMIndex, occ4_device
 
+        if wide is None:
+            wide = idx.seq_len >= (1 << 31)
+        if wide:
+            jax.config.update("jax_enable_x64", True)
+        it = np.int64 if wide else np.int32
         n = int(mesh.shape[index_axis])
-        occ = idx.fm.occ.astype(np.int32)
+        occ = idx.fm.occ.astype(it)
         words = idx.fm.bwt_words
         blocks = occ.shape[0]
         per = -(-blocks // n)
         if per * n != blocks:
-            occ = np.concatenate([occ, np.zeros((per * n - blocks, 4), np.int32)])
+            occ = np.concatenate([occ, np.zeros((per * n - blocks, 4), it)])
         need = per * n * 8
         if len(words) < need:
             words = np.concatenate([words, np.zeros(need - len(words), words.dtype)])
         row_spec = P(index_axis, None)
+        self.wide = wide
         self.mesh = mesh
         self.axis = index_axis
         self.per = per
@@ -131,7 +137,7 @@ class ShardedFMTables:
             NamedSharding(mesh, row_spec),
         )
         self.L2_d = jax.device_put(
-            jnp.asarray(idx.fm.L2.astype(np.int32)), NamedSharding(mesh, P())
+            jnp.asarray(idx.fm.L2.astype(it)), NamedSharding(mesh, P())
         )
 
         axis, per_l, primary, seq_len = index_axis, per, self.primary, self.seq_len
@@ -156,7 +162,7 @@ class ShardedFMTables:
             shard_map(
                 occ4_fn, mesh=mesh,
                 in_specs=(row_spec, row_spec, P(), P()), out_specs=P(),
-                check_rep=False,
+                check_vma=False,
             )
         )
 
@@ -171,7 +177,7 @@ class ShardedFMTables:
                     in_specs=(self._row_spec, self._row_spec, P())
                     + (P(),) * n_batch_args,
                     out_specs=(P(), P(), P()),
-                    check_rep=False,
+                    check_vma=False,
                 )
             )
             self._cache[key] = cached
@@ -182,8 +188,9 @@ class ShardedFMTables:
         ks = np.asarray(ks)
         B = len(ks)
         Bp = max(64, 1 << max(B - 1, 1).bit_length())
-        ks_p = np.full(Bp, -1, np.int32)
-        ks_p[:B] = ks.astype(np.int32)
+        kt = np.int64 if self.wide else np.int32
+        ks_p = np.full(Bp, -1, kt)
+        ks_p[:B] = ks.astype(kt)
         out = self._occ4(self.occ_d, self.words_d, self.L2_d, jnp.asarray(ks_p))
         return np.asarray(out)[:B].astype(np.int64)
 

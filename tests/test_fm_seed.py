@@ -150,3 +150,49 @@ class TestNativeSeeding:
         got = collect_seeds_native(idx, reads, OPT)
         for i, (r, g) in enumerate(zip(reads, got)):
             assert same_smems(g, collect_seeds(idx, r, OPT)), i
+
+
+class TestWideRankPath:
+    """int64 ("wide") device tables for genomes >= 2^31 rows: same jitted
+    programs, int64 row coordinates/counters.  Verified against the host
+    path on a small genome (a >2^31-row fixture would not fit CI); the
+    engine auto-selects wide from seq_len (ops/engine.py)."""
+
+    def test_occ4_wide_parity(self, ref, rng):
+        import jax
+        import jax.numpy as jnp
+
+        idx, _ = ref
+        try:
+            dfm = DeviceFMIndex.from_host(idx, wide=True)
+            assert dfm.idt == jnp.int64
+            ks = np.concatenate(
+                [rng.integers(-1, idx.seq_len + 1, 300),
+                 [-1, 0, idx.seq_len, idx.primary, idx.primary - 1]]
+            ).astype(np.int64)
+            got = np.asarray(occ4_device(dfm, jnp.asarray(ks)))
+            exp = idx.occ4(ks)
+            assert np.array_equal(got, exp)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    def test_seeding_wide_parity(self, ref, rng):
+        import jax
+
+        idx, fwd = ref
+        try:
+            dfm = DeviceFMIndex.from_host(idx, wide=True)
+            reads = []
+            for _ in range(16):
+                pos = int(rng.integers(0, len(fwd) - 110))
+                r = fwd[pos : pos + 100].copy()
+                for m in rng.integers(0, 100, int(rng.integers(0, 4))):
+                    r[m] = (r[m] + 1) % 4
+                if rng.integers(0, 2):
+                    r = (3 - r[::-1]).astype(np.uint8)
+                reads.append(r)
+            got = collect_seeds_device(idx, reads, OPT, dfm=dfm)
+            for r, g in zip(reads, got):
+                assert same_smems(g, collect_seeds(idx, r, OPT))
+        finally:
+            jax.config.update("jax_enable_x64", False)

@@ -121,3 +121,32 @@ class TestShardedExtend:
                 6, 1, 6, 1, clamp_band(OPT, 50, 100, 5, 1), 5, 100, 19,
             )
             assert tuple(int(o[i]) for o in out) == exp
+
+
+class TestWideShardedIndex:
+    def test_wide_sharded_occ4_and_seeding(self, idx, rng):
+        """int64 (wide) sharded tables: rank parity + full device seeding
+        parity on the 8-device mesh (the mode big genomes auto-select,
+        ops/engine.py table-size rule)."""
+        import jax
+
+        from arachne_tpu.align.smem import collect_seeds
+        from arachne_tpu.ops.fm_seed import collect_seeds_device
+
+        try:
+            tabs = ShardedFMTables(idx, make_mesh(), wide=True)
+            assert tabs.wide
+            ks = np.concatenate(
+                [rng.integers(-1, idx.seq_len + 1, 200),
+                 [-1, 0, idx.seq_len, idx.primary]]
+            ).astype(np.int64)
+            assert np.array_equal(tabs.occ4(ks), idx.occ4(ks))
+            reads = _mutated_reads(idx, rng, n=12)
+            got = collect_seeds_device(idx, reads, OPT, dfm=tabs)
+            for r, g in zip(reads, got):
+                exp = collect_seeds(idx, r, OPT)
+                assert [(m.k, m.l, m.s, m.qb, m.qe) for m in g] == [
+                    (m.k, m.l, m.s, m.qb, m.qe) for m in exp
+                ]
+        finally:
+            jax.config.update("jax_enable_x64", False)
