@@ -115,6 +115,7 @@ def run_align(args) -> None:
     # multi-host: must run before the first backend touch (resolve_engine
     # calls jax.devices); forms the process group, one process per host
     from .parallel.distributed import (
+        allreduce_max_int,
         allreduce_stats,
         init_distributed,
         shard_suffix,
@@ -160,6 +161,10 @@ def run_align(args) -> None:
         args.r1, args.r2, ckpt_path,
         process_index=ctx.process_index, process_count=ctx.process_count,
     )
+    if ctx.initialized and ctx.process_count > 1 and ckpt_path:
+        # fleet-wide generation agreement before any manifest write (see
+        # CheckpointedStream.agree_generation)
+        stream.agree_generation(allreduce_max_int(stream.generation, ctx))
     # exactly-once resume: truncate the previous generation's shards back
     # to the last manifest's flushed offsets (records written after that
     # save are discarded and their barcode sets re-run)

@@ -171,10 +171,15 @@ class FMIndex:
 
     def sa(self, k: np.ndarray) -> np.ndarray:
         """SA values for BWT rows k (batched).  Uses the full SA when kept,
-        otherwise bounded inverse-Psi walks to the sampled entries."""
+        otherwise bounded inverse-Psi walks to the sampled entries (native
+        C++ when available — the numpy walk was the genome-scale chaining
+        bottleneck at ~0.5 ms/row)."""
         k = np.asarray(k, dtype=np.int64)
         if self.fm.sa is not None:
             return self.fm.sa[k]
+        native = self._sa_native(k)
+        if native is not None:
+            return native
         intv = self.fm.sa_intv
         mask = intv - 1
         steps = np.zeros(k.shape, dtype=np.int64)
@@ -189,6 +194,48 @@ class FMIndex:
         # sampled[0] stores -1 in place of seq_len (bwt.c:83): walking from
         # row 0 wraps past the sentinel, matching the reference arithmetic.
         return steps + base
+
+    def _sa_native(self, k: np.ndarray) -> Optional[np.ndarray]:
+        """sa_batch via native/smem.cpp; None if the library is absent."""
+        import ctypes
+
+        from ..native import get_lib
+
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "sa_batch") or len(k) == 0:
+            return None
+        words = self._words_c = getattr(
+            self, "_words_c", np.ascontiguousarray(self._words, np.uint32)
+        )
+        occ = self._occ_c = getattr(
+            self, "_occ_c", np.ascontiguousarray(self._occ, np.int64)
+        )
+        L2 = self._L2_c = getattr(
+            self, "_L2_c", np.ascontiguousarray(self.L2, np.int64)
+        )
+        sampled = self._sampled_c = getattr(
+            self, "_sampled_c", np.ascontiguousarray(self.fm.sa_sampled, np.int64)
+        )
+        rows = np.ascontiguousarray(k, np.int64)
+        out = np.empty(len(k), np.int64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        rc = lib.sa_batch(
+            words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_int64(len(words)),
+            occ.ctypes.data_as(i64p),
+            L2.ctypes.data_as(i64p),
+            ctypes.c_int64(int(self.primary)),
+            ctypes.c_int64(int(self.seq_len)),
+            sampled.ctypes.data_as(i64p),
+            ctypes.c_int64(int(self.fm.sa_intv)),
+            rows.ctypes.data_as(i64p),
+            ctypes.c_int64(len(k)),
+            out.ctypes.data_as(i64p),
+            ctypes.c_int32(4),
+        )
+        if rc != 0:
+            return None
+        return out
 
     def _inv_psi(self, k: np.ndarray) -> np.ndarray:
         """invPsi (bwt.c:53-59), batched."""

@@ -30,6 +30,55 @@ class SimConfig:
     fragment_std: int = 50
     error_rate: float = 0.002
     seed: int = 0
+    # hard-path knobs: skewed barcode sizes + invalid barcodes exercise
+    # the paths RFA exists for (max_occ subsampling, chain filtering,
+    # 30k-read sets, BX/VX gating — bwamem.c:265-315, reader.go:236)
+    pair_counts: Optional[List[int]] = None   # explicit pairs per barcode
+    invalid_every: int = 0                    # every k-th barcode gets VX:i:0
+
+
+def skewed_pair_counts(
+    rng: np.random.Generator,
+    n_barcodes: int,
+    mean_pairs: int,
+    sigma: float = 1.0,
+    big_barcode_pairs: int = 0,
+) -> List[int]:
+    """Lognormal pairs-per-barcode (real linked-read libraries are heavily
+    skewed), optionally with one giant barcode planted at the front."""
+    raw = rng.lognormal(mean=0.0, sigma=sigma, size=n_barcodes)
+    counts = np.maximum(1, (raw / raw.mean() * mean_pairs).astype(int)).tolist()
+    if big_barcode_pairs:
+        counts[0] = big_barcode_pairs
+    return counts
+
+
+def make_repeat_genome(
+    length: int,
+    n_families: int = 8,
+    copies: int = 12,
+    unit_len: int = 800,
+    identity: float = 0.95,
+    seed: int = 0,
+) -> str:
+    """Random genome with planted repeat families: each family is one
+    random unit pasted at ``copies`` locations, each copy independently
+    mutated to the target identity.  Exercises the reference's repeat
+    machinery: max_occ=500 seed subsampling (bwamem.c:278-279), frac_rep
+    (:265-272), chain filtering under overlap load, and RFA molecule
+    disambiguation (the reason barcode-joint alignment exists)."""
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 4, length).astype(np.uint8)
+    for _f in range(n_families):
+        unit = rng.integers(0, 4, unit_len).astype(np.uint8)
+        for _c in range(copies):
+            at = int(rng.integers(0, length - unit_len))
+            copy = unit.copy()
+            n_mut = rng.binomial(unit_len, 1.0 - identity)
+            sites = rng.integers(0, unit_len, n_mut)
+            copy[sites] = (copy[sites] + rng.integers(1, 4, n_mut)) % 4
+            g[at : at + unit_len] = copy
+    return "".join("ACGT"[c] for c in g)
 
 
 def _barcode(i: int) -> str:
@@ -57,7 +106,19 @@ def simulate_linked_reads(
     with gzip.open(out_r1, "wt") as f1, gzip.open(out_r2, "wt") as f2:
         for bi in range(cfg.n_barcodes):
             bc = _barcode(bi)
-            for _mi in range(cfg.molecules_per_barcode):
+            valid = 1
+            if cfg.invalid_every and (bi + 1) % cfg.invalid_every == 0:
+                valid = 0
+            if cfg.pair_counts is not None:
+                want = cfg.pair_counts[bi]
+                n_mols = -(-want // cfg.pairs_per_molecule)
+            else:
+                want = cfg.molecules_per_barcode * cfg.pairs_per_molecule
+                n_mols = cfg.molecules_per_barcode
+            emitted = 0
+            for _mi in range(n_mols):
+                if emitted >= want:
+                    break
                 ci = int(rng.integers(0, len(contigs)))
                 name, _, seq = contigs[ci]
                 if len(seq) <= cfg.molecule_len + cfg.fragment_mean:
@@ -66,7 +127,7 @@ def simulate_linked_reads(
                 else:
                     mol_start = int(rng.integers(0, len(seq) - cfg.molecule_len))
                     mol_len = cfg.molecule_len
-                for _p in range(cfg.pairs_per_molecule):
+                for _p in range(min(cfg.pairs_per_molecule, want - emitted)):
                     frag = int(
                         np.clip(
                             rng.normal(cfg.fragment_mean, cfg.fragment_std),
@@ -87,8 +148,9 @@ def simulate_linked_reads(
                             r[j] = "ACGT"[int(rng.integers(0, 4))]
                     qname = f"{name}_{pos + 1}_{pos + frag}_{serial}"
                     serial += 1
-                    hdr = f"BX:Z:{bc}\tVX:i:1"
+                    hdr = f"BX:Z:{bc}\tVX:i:{valid}"
                     f1.write(f"@{qname}/1\t{hdr}\n{''.join(r1)}\n+\n{'I' * cfg.read_len}\n")
                     f2.write(f"@{qname}/2\t{hdr}\n{''.join(r2)}\n+\n{'I' * cfg.read_len}\n")
                     total += 1
+                    emitted += 1
     return total

@@ -101,6 +101,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
         except AttributeError:
             pass  # stale .so without smem support; sais still usable
         try:
+            u32p = ctypes.POINTER(ctypes.c_uint32)
+            i64p_ = ctypes.POINTER(ctypes.c_int64)
+            lib.sa_batch.argtypes = [
+                u32p, ctypes.c_int64, i64p_, i64p_,       # words, n_words, occ, L2
+                ctypes.c_int64, ctypes.c_int64,           # primary, seq_len
+                i64p_, ctypes.c_int64,                    # sampled, sa_intv
+                i64p_, ctypes.c_int64, i64p_,             # rows, n, out
+                ctypes.c_int32,                           # n_threads
+            ]
+            lib.sa_batch.restype = ctypes.c_int
+        except AttributeError:
+            pass  # stale .so without sa support
+        try:
             i32p = ctypes.POINTER(ctypes.c_int32)
             i64p = ctypes.POINTER(ctypes.c_int64)
             f32p = ctypes.POINTER(ctypes.c_float)

@@ -307,3 +307,58 @@ extern "C" int smem_collect_batch(
     for (auto& th : threads) th.join();
     return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Sampled-SA lookup: bwt_sa (bwt.c:86-96) — inverse-Psi walk to the nearest
+// sampled row.  At genome scale (sampled SA, sa_intv=32) the numpy walk was
+// the chaining stage's dominant term (~0.5 ms/occurrence); here each step is
+// one occ4 + one word read.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// invPsi (bwt.c:53-59): previous row in the LF walk.
+static inline int64_t inv_psi(const FM& fm, int64_t k) {
+    if (k == fm.primary) return 0;
+    int64_t x = k - (k > fm.primary ? 1 : 0);
+    uint32_t word = fm.words[x >> 4];
+    uint32_t sh = (uint32_t)(((~x) & 15) << 1);
+    int c = (int)((word >> sh) & 3u);
+    int64_t occv[4];
+    occ4(fm, k, occv);
+    return fm.L2[c] + occv[c];
+}
+
+}  // namespace
+
+extern "C" int sa_batch(
+    const uint32_t* words, int64_t n_words, const int64_t* occ,
+    const int64_t* L2, int64_t primary, int64_t seq_len,
+    const int64_t* sampled, int64_t sa_intv,
+    const int64_t* rows, int64_t n, int64_t* out, int32_t n_threads) {
+    FM fm{words, occ, L2, primary, seq_len, n_words};
+    const int64_t mask = sa_intv - 1;
+    const int shift = __builtin_ctzll((uint64_t)sa_intv);
+    auto work = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            int64_t cur = rows[i], steps = 0;
+            while (cur & mask) {
+                cur = inv_psi(fm, cur);
+                ++steps;
+            }
+            out[i] = steps + sampled[cur >> shift];
+        }
+    };
+    if (n_threads <= 1 || n < 1024) {
+        work(0, n);
+        return 0;
+    }
+    int nt = std::min<int32_t>(n_threads, 16);
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) {
+        int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+        threads.emplace_back(work, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+    return 0;
+}

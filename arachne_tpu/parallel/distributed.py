@@ -87,6 +87,20 @@ def allreduce_stats(values: np.ndarray, ctx: DistContext) -> np.ndarray:
     return np.asarray(gathered).sum(axis=0)
 
 
+def allreduce_max_int(value: int, ctx: DistContext) -> int:
+    """Max of an int across all hosts; identity for single-process runs.
+
+    Used to agree on the checkpoint generation before any manifest is
+    written: a slow host's glob could otherwise see a fast peer's fresh
+    manifest and compute generation max+1, mis-keying its claims."""
+    if not ctx.initialized or ctx.process_count == 1:
+        return value
+    from jax.experimental.multihost_utils import process_allgather
+
+    gathered = process_allgather(jnp.asarray(np.int64(value)))
+    return int(np.asarray(gathered).max())
+
+
 def shard_suffix(ctx: DistContext) -> str:
     """Per-host output shard suffix (empty for single-host runs)."""
     if ctx.process_count == 1:

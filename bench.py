@@ -117,6 +117,102 @@ def _bench_fixture(cache: str):
     return ref, r1, r2
 
 
+def _repeat_fixture(cache: str):
+    """3 Mbp repeat-planted genome + skewed linked-read library: 10 repeat
+    families (20 x 1 kb copies at 95% identity) drive max_occ seed
+    subsampling / frac_rep / chain filtering (bwamem.c:265-315), and the
+    barcode sizes are lognormal-skewed with one 30k-read (15k-pair)
+    barcode and every-17th barcode invalid (VX:i:0) — the hard paths RFA
+    exists for."""
+    import os
+
+    os.makedirs(cache, exist_ok=True)
+    ref = os.path.join(cache, "repeat_ref.fa")
+    r1 = os.path.join(cache, "repeat.R1.fq.gz")
+    r2 = os.path.join(cache, "repeat.R2.fq.gz")
+    if not os.path.exists(ref):
+        from arachne_tpu.io.simulate import make_repeat_genome
+
+        seq = make_repeat_genome(
+            3_000_000, n_families=10, copies=20, unit_len=1000,
+            identity=0.95, seed=20260821,
+        )
+        with open(ref, "w") as fh:
+            fh.write(">chr_repeat\n")
+            for i in range(0, len(seq), 70):
+                fh.write(seq[i : i + 70] + "\n")
+    if not os.path.exists(ref + ".arx.npz"):
+        from arachne_tpu.index import build_index_files
+
+        build_index_files(ref)
+    if not (os.path.exists(r1) and os.path.exists(r2)):
+        from arachne_tpu.index import parse_fasta
+        from arachne_tpu.io.simulate import (
+            SimConfig, simulate_linked_reads, skewed_pair_counts,
+        )
+
+        rng = np.random.default_rng(11)
+        counts = skewed_pair_counts(
+            rng, 150, mean_pairs=30, sigma=1.2, big_barcode_pairs=15_000
+        )
+        simulate_linked_reads(
+            parse_fasta(ref), r1, r2,
+            SimConfig(
+                n_barcodes=150, pair_counts=counts, pairs_per_molecule=25,
+                invalid_every=17, seed=9,
+            ),
+        )
+    return ref, r1, r2
+
+
+def bench_repeat_genome():
+    """Hard-path run: repeat genome + skewed/invalid barcodes, with
+    accuracy from the truth-encoding read names.  One full run (the main
+    e2e metric already covers steady-state variance)."""
+    import argparse
+    import os
+    import shutil
+    import tempfile
+
+    from arachne_tpu.cli import run_align
+    from arachne_tpu.runtime.accuracy import evaluate_sam
+    from arachne_tpu.runtime.timers import TIMERS
+
+    cache = os.path.expanduser("~/.cache/arachne_bench")
+    ref, r1, r2 = _repeat_fixture(cache)
+    out = tempfile.mkdtemp(prefix="arachne_bench_rep_")
+    TIMERS.reset()
+    try:
+        args = argparse.Namespace(
+            centromeres="", improper_pair_penalty=-4.0, partitions=40_000_000,
+            read_group="sample:library:molecule:flowcell:lane",
+            sample_id="sample", threads=2, sam=True, debug_tags=False,
+            engine="tpu", checkpoint="", stats_json="", profile_dir="",
+            output=out, reference=ref, r1=r1, r2=r2,
+        )
+        stats = run_align(args)
+        acc = evaluate_sam(os.path.join(out, "bc_sorted_bam.sam"))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    pps = stats.reads / max(stats.elapsed, 1e-9)
+    overall = acc.total_correct / max(acc.total, 1)
+    return {
+        "metric": "repeat_genome_pairs_per_sec",
+        "value": round(pps, 1),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(overall, 4),
+        "detail": {
+            "pairs": stats.reads,
+            "barcodes": stats.barcodes,
+            "elapsed_s": round(stats.elapsed, 2),
+            "accuracy_overall": round(overall, 4),
+            "accuracy_csv": acc.as_csv().splitlines(),
+            "fixture": "3Mbp/10 repeat families x20 copies @95% id; "
+                       "150 skewed barcodes + one 15k-pair + VX:i:0 every 17th",
+        },
+    }
+
+
 def bench_end_to_end(trials: int = 3):
     """Full-pipeline pairs/s with the TPU engine; returns the JSON record.
 

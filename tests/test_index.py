@@ -238,3 +238,36 @@ class TestBwaDiskFormat:
         assert np.array_equal(idx1.sa(ks), idx2.sa(ks))
         for c in range(4):
             assert np.array_equal(idx1.occ(ks, c), idx2.occ(ks, c))
+
+
+class TestNativeSA:
+    def test_native_sa_walk_matches_numpy(self, rng):
+        """sa_batch (native/smem.cpp) == the numpy inverse-Psi walk on a
+        sampled-SA index, including edge rows."""
+        from arachne_tpu.index import FMIndex, build_fmindex, pack_reference
+        from arachne_tpu.native import get_lib
+
+        if get_lib() is None or not hasattr(get_lib(), "sa_batch"):
+            pytest.skip("native sa_batch unavailable")
+        seq = "".join(
+            np.array(list("ACGT"))[rng.integers(0, 4, 50_000)]
+        )
+        packed = pack_reference([("c1", "", seq)])
+        fm = build_fmindex(packed, keep_full_sa=False)
+        assert fm.sa is None
+        idx = FMIndex(packed, fm)
+        rows = np.concatenate(
+            [rng.integers(0, idx.seq_len + 1, 5000),
+             [0, 1, idx.seq_len, idx.primary, idx.primary + 1]]
+        ).astype(np.int64)
+        native = idx._sa_native(rows)
+        assert native is not None
+        import arachne_tpu.index.fmindex as F
+
+        orig = F.FMIndex._sa_native
+        F.FMIndex._sa_native = lambda self, k: None
+        try:
+            ref = idx.sa(rows)
+        finally:
+            F.FMIndex._sa_native = orig
+        assert np.array_equal(native, ref)
