@@ -31,19 +31,19 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_BIG = -(1 << 30)
 
 
-def _shift_down(x: jnp.ndarray, k: int, fill: int) -> jnp.ndarray:
+def _shift_down(x: jnp.ndarray, k: int, fill) -> jnp.ndarray:
     """Shift rows down by k along the sublane axis, filling with `fill`."""
     n = x.shape[0]
     pad = jnp.full((k,) + x.shape[1:], fill, x.dtype)
     return jnp.concatenate([pad, x], axis=0)[:n]
 
 
-def _prefix_max(v: jnp.ndarray) -> jnp.ndarray:
+def _prefix_max(v: jnp.ndarray, fill=NEG_BIG) -> jnp.ndarray:
     """Inclusive running max along the sublane axis (log-depth doubling)."""
     n = v.shape[0]
     k = 1
     while k < n:
-        v = jnp.maximum(v, _shift_down(v, k, NEG_BIG))
+        v = jnp.maximum(v, _shift_down(v, k, fill))
         k <<= 1
     return v
 
@@ -63,10 +63,17 @@ def _extend_kernel(
     o_ins: int,
     e_ins: int,
     zdrop: int,
+    sdt=jnp.int32,
 ):
+    """``sdt`` is the (qmax, B) DP-state dtype: int16 when the dispatcher
+    proves the score range fits (2 lanes/VPU-word -> ~2x element
+    throughput on the big per-row tensors), int32 otherwise.  All (1, B)
+    bookkeeping stays int32; the DP recurrences are identical integer
+    arithmetic in either width, so outputs are bit-equal."""
     B = qsT_ref.shape[1]
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
+    NEG_S = jnp.asarray(NEG_BIG if sdt == jnp.int32 else -(1 << 13), sdt)
 
     qsT = qsT_ref[:]
     qlens = params_ref[0:1, :]                       # (1, B)
@@ -75,13 +82,27 @@ def _extend_kernel(
     h0s = params_ref[3:4, :]
 
     jidx = jax.lax.broadcasted_iota(jnp.int32, (qmax, B), 0)
+    jidx_s = jidx.astype(sdt)
     valid_q = jidx < qlens
     q_is_n = qsT == 4
 
+    def sel(cond, x, y):
+        """where(cond, x, y) with x/y in sdt.  Mosaic (v5e) supports
+        neither i1 relayout between 32-bit and 16-bit tilings nor i16
+        vector compares, so in int16 mode the mask (always computed from
+        int32 operands) is value-cast to an int16 0/1 vector and the
+        select becomes arithmetic."""
+        if sdt == jnp.int32:
+            return jnp.where(cond, x, y)
+        m = cond.astype(jnp.int32).astype(sdt)
+        return y + m * (x - y)
+
+    j_ge_1 = (jidx >= 1).astype(jnp.int32).astype(sdt) if sdt != jnp.int32 else None
+
     # initial previous-row H: H(-1, j) = max(h0 - oe_ins - j*e_ins, 0)
     Hprev = jnp.maximum(h0s - oe_ins - jidx * e_ins, 0)
-    Hprev = jnp.where(valid_q, Hprev, 0)
-    Eprev = jnp.zeros((qmax, B), jnp.int32)
+    Hprev = jnp.where(valid_q, Hprev, 0).astype(sdt)
+    Eprev = jnp.zeros((qmax, B), sdt)
 
     zero1 = jnp.zeros((1, B), jnp.int32)
     carry = (
@@ -104,10 +125,10 @@ def _extend_kernel(
         row_live = (alive != 0) & (ii < tlens)                 # (1, B)
         tcode = jnp.where(ii < tlens, tsT_ref[i, :][None, :], 4)  # (1, B)
         # bwa_fill_scmat: match=+a, mismatch=-b, any N=-1
-        q_row = jnp.where(
+        q_row = sel(
             q_is_n | (tcode == 4),
-            jnp.int32(-1),
-            jnp.where(qsT == tcode, jnp.int32(a), jnp.int32(-b)),
+            jnp.asarray(-1, sdt),
+            sel(qsT == tcode, jnp.asarray(a, sdt), jnp.asarray(-b, sdt)),
         )
         end_used = jnp.minimum(jnp.minimum(end, ii + ws + 1), qlens)  # (1, B)
         in_band = (jidx >= ii - ws) & (jidx < end_used) & valid_q
@@ -126,30 +147,45 @@ def _extend_kernel(
                 0,
             ),
         )
-        Hdiag = jnp.concatenate([bound_prev, H0[:-1]], axis=0)
-        M = jnp.where(Hdiag != 0, Hdiag + q_row, 0)
-        u = jnp.maximum(M - oe_ins, 0)
-        v = u + jidx * e_ins
-        run = _prefix_max(v)
-        run_prev = _shift_down(run, 1, NEG_BIG)
-        F = jnp.where(
-            jidx >= 1, jnp.maximum(run_prev - (jidx - 1) * e_ins, 0), 0
-        )
+        Hdiag = jnp.concatenate([bound_prev.astype(sdt), H0[:-1]], axis=0)
+        # Hdiag >= 0 always, so min(Hdiag, 1) is the 0/1 nonzero mask —
+        # no i16 compare needed
+        M = jnp.minimum(Hdiag, jnp.asarray(1, sdt)) * (Hdiag + q_row) \
+            if sdt != jnp.int32 else \
+            jnp.where(Hdiag != 0, Hdiag + q_row, 0)
+        u = jnp.maximum(M - jnp.asarray(oe_ins, sdt), jnp.asarray(0, sdt))
+        v = u + jidx_s * jnp.asarray(e_ins, sdt)
+        run = _prefix_max(v, NEG_S)
+        run_prev = _shift_down(run, 1, NEG_S)
+        Fv = jnp.maximum(run_prev - (jidx_s - 1) * jnp.asarray(e_ins, sdt),
+                         jnp.asarray(0, sdt))
+        F = j_ge_1 * Fv if sdt != jnp.int32 else jnp.where(jidx >= 1, Fv, 0)
         H = jnp.maximum(jnp.maximum(M, E0), F)
-        H = jnp.where(in_band, H, 0)
-        Enew = jnp.maximum(E0 - e_del, jnp.maximum(M - oe_del, 0))
-        Enew = jnp.where(in_band, Enew, 0)
+        H = sel(in_band, H, jnp.asarray(0, sdt))
+        Enew = jnp.maximum(E0 - jnp.asarray(e_del, sdt),
+                           jnp.maximum(M - jnp.asarray(oe_del, sdt),
+                                       jnp.asarray(0, sdt)))
+        Enew = sel(in_band, Enew, jnp.asarray(0, sdt))
 
-        m = jnp.max(H, axis=0, keepdims=True)                  # (1, B)
-        # mj: largest j attaining m (ties -> later j, ksw.c:437)
-        is_max = (H == m) & in_band
-        mj = jnp.max(jnp.where(is_max, jidx, -1), axis=0, keepdims=True)
+        # Mosaic has no int16 reductions: reduce via an int32 view.
+        # m and mj (largest j attaining m — ties to later j, ksw.c:437)
+        # come from ONE composite reduction: max(H*K + j) with K = the
+        # sublane capacity, so the winner is max-H-then-max-j.  Out-of-
+        # band positions hold H == 0 and can only win when m == 0, in
+        # which case the lane dies this row (zero_row) and mj is unused.
+        H32 = H.astype(jnp.int32)
+        K_SHIFT = max(qmax - 1, 1).bit_length()
+        comp = jnp.max(
+            (H32 << K_SHIFT) + jidx, axis=0, keepdims=True
+        )                                                      # (1, B)
+        m = comp >> K_SHIFT
+        mj = comp & ((1 << K_SHIFT) - 1)
 
         # gscore: the window reached the end of the query this row
         ends_q = (end_used == qlens) & (ii < tlens)
         # H >= 0 everywhere, so a masked max extracts H[qlen-1] exactly
         h_last = jnp.max(
-            jnp.where(jidx == qlens - 1, H, 0), axis=0, keepdims=True
+            jnp.where(jidx == qlens - 1, H32, 0), axis=0, keepdims=True
         )
         # ksw.c:451-452: max_ie updates on ties (gscore > h1 keeps old)
         upd_ie = ends_q & row_live & ~(gscore > h_last)
@@ -183,11 +219,13 @@ def _extend_kernel(
         # adaptive end update (ksw.c:468-469): slot s holds H(i, s-1) and
         # E(i+1, s); find the last nonzero slot <= end_used.
         # Slots 1..qmax: slot s <-> H[s-1], E[s] (E beyond qmax-1 is 0).
-        e_shift = jnp.concatenate([Enew[1:], jnp.zeros((1, B), jnp.int32)], 0)
-        nzA = ((H != 0) | (e_shift != 0)) & ((jidx + 1) <= end_used)
+        e_shift32 = jnp.concatenate(
+            [Enew[1:], jnp.zeros((1, B), sdt)], 0
+        ).astype(jnp.int32)
+        nzA = ((H32 != 0) | (e_shift32 != 0)) & ((jidx + 1) <= end_used)
         jstarA = jnp.max(jnp.where(nzA, jidx + 1, -1), axis=0, keepdims=True)
         # Slot 0: h=h1_init, e=Enew[0]; 0 <= end_used always (end >= 1).
-        e0 = jnp.max(jnp.where(jidx == 0, Enew, 0), axis=0, keepdims=True)
+        e0 = Enew[0:1, :].astype(jnp.int32)
         jstar0 = jnp.where((h1_init != 0) | (e0 != 0), 0, -1)
         jstar = jnp.maximum(jstarA, jstar0)
         new_end = jnp.minimum(jstar + 2, qlens)
@@ -195,8 +233,8 @@ def _extend_kernel(
         end = jnp.where(survive, new_end, end)
 
         return (
-            jnp.where(row_live, H, H0),
-            jnp.where(row_live, Enew, E0),
+            sel(row_live, H, H0),
+            sel(row_live, Enew, E0),
             ((alive != 0) & ~die).astype(jnp.int32),
             end,
             maxv,
@@ -237,7 +275,7 @@ def _extend_kernel(
     jax.jit,
     static_argnames=(
         "qmax", "tmax", "a", "b", "o_del", "e_del", "o_ins", "e_ins",
-        "zdrop", "b_tile", "interpret",
+        "zdrop", "b_tile", "interpret", "wide_state",
     ),
 )
 def extend_batch_pallas(
@@ -259,8 +297,13 @@ def extend_batch_pallas(
     zdrop: int,
     b_tile: int = 512,
     interpret: bool = False,
+    wide_state: bool = True,
 ) -> Tuple[jnp.ndarray, ...]:
-    """Drop-in pallas twin of extend_batch_kernel (same 6-tuple outputs)."""
+    """Drop-in pallas twin of extend_batch_kernel (same 6-tuple outputs).
+
+    ``wide_state=False`` runs the DP state in int16 (callers must prove
+    max(h0) + band growth fits — see BatchExtender); bit-identical
+    outputs either way."""
     B = qs.shape[0]
     b_tile = min(b_tile, B)
     if B % b_tile:
@@ -280,6 +323,7 @@ def extend_batch_pallas(
         _extend_kernel,
         qmax=qmax, tmax=tmax, a=a, b=b,
         o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins, zdrop=zdrop,
+        sdt=jnp.int32 if wide_state else jnp.int16,
     )
     grid = (B // b_tile,)
     out = pl.pallas_call(
@@ -305,13 +349,13 @@ def extend_batch_pallas(
     jax.jit,
     static_argnames=(
         "qmax", "tmax", "a", "b", "o_del", "e_del", "o_ins", "e_ins",
-        "zdrop", "b_tile", "interpret",
+        "zdrop", "b_tile", "interpret", "wide_state",
     ),
 )
 def extend_batch_pallas_packed(
     qs_p, qs_n, ts_p, ts_n, qlens, tlens, ws, h0s,
     *, qmax, tmax, a, b, o_del, e_del, o_ins, e_ins, zdrop,
-    b_tile=512, interpret=False,
+    b_tile=512, interpret=False, wide_state=True,
 ):
     """extend_batch_pallas fed 2-bit packed uploads (ops/packing.py):
     codes are unpacked on device in the jit prologue, cutting the
@@ -325,7 +369,7 @@ def extend_batch_pallas_packed(
         qs, ts, qlens, tlens, ws, h0s,
         qmax=qmax, tmax=tmax, a=a, b=b, o_del=o_del, e_del=e_del,
         o_ins=o_ins, e_ins=e_ins, zdrop=zdrop, b_tile=b_tile,
-        interpret=interpret,
+        interpret=interpret, wide_state=wide_state,
     )
 
 
@@ -333,13 +377,13 @@ def extend_batch_pallas_packed(
     jax.jit,
     static_argnames=(
         "qmax", "tmax", "a", "b", "o_del", "e_del", "o_ins", "e_ins",
-        "zdrop", "b_tile", "interpret",
+        "zdrop", "b_tile", "interpret", "wide_state",
     ),
 )
 def extend_batch_pallas_bundled(
     u8, meta,
     *, qmax, tmax, a, b, o_del, e_del, o_ins, e_ins, zdrop,
-    b_tile=512, interpret=False,
+    b_tile=512, interpret=False, wide_state=True,
 ):
     """Single-buffer transfer variant: ``u8`` is packing.bundle_seqs of
     (qs, ts); ``meta`` stacks (qlens, tlens, ws, h0s) as (4, B) int32;
@@ -353,6 +397,6 @@ def extend_batch_pallas_bundled(
         qs, ts, meta[0], meta[1], meta[2], meta[3],
         qmax=qmax, tmax=tmax, a=a, b=b, o_del=o_del, e_del=e_del,
         o_ins=o_ins, e_ins=e_ins, zdrop=zdrop, b_tile=b_tile,
-        interpret=interpret,
+        interpret=interpret, wide_state=wide_state,
     )
     return jnp.stack(out, axis=0)

@@ -312,6 +312,10 @@ class BatchExtender:
 
                 u8 = bundle_seqs(qs, ts)
                 meta = np.stack([qlens, tlens, ws, h0s]).astype(np.int32)
+                # NOTE: an int16 DP-state variant exists (wide_state=
+                # False, bit-identical, tests/test_pallas.py) but v5e
+                # Mosaic cannot legalize i16 vector min/max/compares, so
+                # the production dispatch stays int32 on TPU.
                 out = extend_batch_pallas_bundled(
                     jnp.asarray(u8), jnp.asarray(meta),
                     qmax=qmax, tmax=tmax, a=self.opt.a, b=self.opt.b,

@@ -54,15 +54,17 @@ def make_problems(rng, B, qlen, tlen):
     return qs, ts
 
 
-def timed(fn, ks=(1, 8), trials=5):
+def timed(fn, ks=(8, 136), trials=5):
     """Per-execution seconds: slope between k chained executions, each run
     forced to completion by fetching the result.
 
     The tunnel's round-trip latency is noisy (tens of ms of jitter), so a
     single 2-point slope can even come out negative; per k we take the MIN
     over several trials (min is the standard robust estimator for timing —
-    noise only ever adds time) and use a wide k spread so the real
-    per-execution cost dominates the residual jitter."""
+    noise only ever adds time) and use a wide k spread (128 executions
+    ~ 35 ms of signal vs tens-of-ms RTT jitter) so the real per-execution
+    cost dominates; with the old (1, 8) spread the GCUPS line swung
+    170-980 between runs."""
     fn_out = fn()  # compile
     np.asarray(fn_out[0])
     times = {}
@@ -195,7 +197,7 @@ def bench_repeat_genome():
     finally:
         shutil.rmtree(out, ignore_errors=True)
     pps = stats.reads / max(stats.elapsed, 1e-9)
-    overall = acc.total_correct / max(acc.total, 1)
+    overall = acc.correct / max(acc.total, 1)
     return {
         "metric": "repeat_genome_pairs_per_sec",
         "value": round(pps, 1),
@@ -347,9 +349,17 @@ def main():
     }
     print(json.dumps(result), flush=True)
 
+    # hard-path run: repeat genome + skewed/invalid barcodes + accuracy
+    rep = bench_repeat_genome()
+    print(json.dumps(rep), flush=True)
+
     # headline product metric LAST (the driver parses the final JSON line)
     e2e = bench_end_to_end()
     e2e["detail"]["kernel_gcups"] = result["value"]
+    e2e["detail"]["repeat_genome"] = {
+        "pairs_per_sec": rep["value"],
+        "accuracy": rep["detail"]["accuracy_overall"],
+    }
     print(json.dumps(e2e), flush=True)
 
 

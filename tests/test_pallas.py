@@ -282,3 +282,27 @@ def test_bundled_local_full_matches_parts():
         zip(("gmax", "te", "qe", "s2", "t2"), (gmax, te, qe, s2, t2))
     ):
         np.testing.assert_array_equal(np.asarray(r), got[j], err_msg=name)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_pallas_extend_int16_state_matches_xla(seed):
+    """wide_state=False (int16 DP state) is bit-identical to the XLA
+    reference — same integer recurrences, narrower lanes."""
+    opt = MemOptions()
+    B, qmax, tmax = 64, 128, 192
+    qs, ts, qlens, tlens, ws, h0s = _random_problems(seed, B, qmax, tmax, opt)
+    mat = jnp.asarray(opt.scoring_matrix(), jnp.int32)
+    args = [jnp.asarray(x) for x in (qs, ts, qlens, tlens, ws, h0s)]
+    kw = dict(
+        qmax=qmax, tmax=tmax, o_del=opt.o_del, e_del=opt.e_del,
+        o_ins=opt.o_ins, e_ins=opt.e_ins, zdrop=opt.zdrop,
+    )
+    ref = extend_batch_kernel(*args, mat, **kw)
+    got = extend_batch_pallas(
+        *args, a=opt.a, b=opt.b, **kw, b_tile=64, interpret=INTERPRET,
+        wide_state=False,
+    )
+    for name, r, g in zip(
+        ("score", "qle", "tle", "gtle", "gscore", "max_off"), ref, got
+    ):
+        assert np.array_equal(np.asarray(r), np.asarray(g)), name
