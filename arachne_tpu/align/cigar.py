@@ -92,14 +92,22 @@ def gen_cigar_finish(
         n_cigar = len(cigar)
         for kth, (op, ln) in enumerate(cigar):
             if op == OP_M:
-                for i in range(ln):
-                    if q[x + i] != rseq[y + i]:
-                        parts.append(str(u))
-                        parts.append(int2base[rseq[y + i]])
-                        n_mm += 1
+                # vectorized mismatch scan (the per-base loop was ~40% of
+                # the CIGAR stage); identical MD/NM emission
+                seg_q = q[x : x + ln]
+                seg_r = rseq[y : y + ln]
+                mism = np.flatnonzero(seg_q != seg_r)
+                if len(mism) == 0:
+                    u += ln
+                else:
+                    prev = -1
+                    for m in mism.tolist():
+                        parts.append(str(u + (m - prev - 1)))
+                        parts.append(int2base[seg_r[m]])
                         u = 0
-                    else:
-                        u += 1
+                        prev = m
+                    u = ln - 1 - int(mism[-1])
+                    n_mm += len(mism)
                 x += ln
                 y += ln
             elif op == OP_D:

@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -267,23 +268,45 @@ def global_batch_pallas_packed(
     jax.jit,
     static_argnames=(
         "qmax", "tmax", "a", "b", "o_del", "e_del", "o_ins", "e_ins",
-        "want_z", "b_tile", "t_chunk", "interpret",
+        "want_z", "b_tile", "t_chunk", "interpret", "pack_z",
     ),
 )
 def global_batch_pallas_bundled(
     u8, meta,
     *, qmax, tmax, a, b, o_del, e_del, o_ins, e_ins,
-    want_z=True, b_tile=256, t_chunk=8, interpret=False,
+    want_z=True, b_tile=256, t_chunk=8, interpret=False, pack_z=False,
 ):
     """Single-buffer transfer variant (see pallas_extend
     extend_batch_pallas_bundled): u8 = bundle_seqs(qs, ts), meta stacks
-    (qlens, tlens, ws) as (3, B) int32."""
+    (qlens, tlens, ws) as (3, B) int32.
+
+    ``pack_z``: repack the direction tensor on device to 4 bits/cell —
+    bits (0,1,2,5) of the reference layout become nibble bits (0,1,2,3),
+    adjacent qmax columns share a byte — so the traceback fetch ships
+    (tmax, qmax/2, B) instead of (tmax, qmax, B); sw_global unpacks on
+    the host.  The z fetch is the dominant tunnel transfer of the CIGAR
+    stage."""
     from .packing import unbundle_seqs
 
     qs, ts = unbundle_seqs(u8, qmax, tmax)
-    return global_batch_pallas(
+    score, z = global_batch_pallas(
         qs, ts, meta[0], meta[1], meta[2],
         qmax=qmax, tmax=tmax, a=a, b=b, o_del=o_del, e_del=e_del,
         o_ins=o_ins, e_ins=e_ins, want_z=want_z, b_tile=b_tile,
         t_chunk=t_chunk, interpret=interpret,
     )
+    if want_z and pack_z:
+        z4 = (z & 7) | (((z >> 5) & 1) << 3)        # 4 live bits
+        z = z4[:, 0::2, :] | (z4[:, 1::2, :] << 4)  # 2 columns/byte
+    return score, z
+
+
+def unpack_z(zp: "np.ndarray", qmax: int) -> "np.ndarray":
+    """Host-side inverse of pack_z: (tmax, qmax/2, B) -> (tmax, qmax, B)
+    with the reference's bit layout (0-1 H-source, 2 E-cont, 5 F-cont)."""
+    lo = zp & 0xF
+    hi = (zp >> 4) & 0xF
+    out = np.empty((zp.shape[0], zp.shape[1] * 2, zp.shape[2]), np.uint8)
+    out[:, 0::2, :] = (lo & 7) | ((lo >> 3) << 5)
+    out[:, 1::2, :] = (hi & 7) | ((hi >> 3) << 5)
+    return out[:, :qmax, :]

@@ -183,9 +183,13 @@ class BatchGlobal:
         for c0 in range(0, B, chunk):
             c1 = min(c0 + chunk, B)
             nb = c1 - c0
-            # pallas/TPU: fixed batch shape (see sw_extend.run)
+            # pallas/TPU: fixed batch shape (see sw_extend.run).  Traceback
+            # chunks instead bucket to the actual need (32-lane steps, at
+            # most 8 persistent-cached shapes): the z fetch is the
+            # dominant transfer and used to ship the full 256-lane pad
+            # even for a handful of gapped problems.
             if self.use_pallas:
-                Bp = chunk
+                Bp = pad_batch(nb, 32) if want_z else chunk
             else:
                 Bp = chunk if B > chunk else pad_batch(nb, 32)
             qs = np.full((Bp, qmax), 4, np.int8)
@@ -211,8 +215,9 @@ class BatchGlobal:
                     qmax=qmax, tmax=tmax, a=self.opt.a, b=self.opt.b,
                     o_del=self.opt.o_del, e_del=self.opt.e_del,
                     o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
-                    want_z=want_z, b_tile=min(256, Bp),
-                )  # b_tile: Bp is fixed per chunk kind, so shape is stable
+                    want_z=want_z, b_tile=min(32 if want_z else 256, Bp),
+                    pack_z=want_z,
+                )  # z ships nibble-packed (2 columns/byte); unpacked below
             else:
                 score, z = global_batch_kernel(
                     jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
@@ -231,7 +236,12 @@ class BatchGlobal:
             ):
                 scores.append(np.asarray(score)[:nb])
                 if want_z:
-                    zs.append(np.asarray(z)[:, :, :nb])
+                    zmat = np.asarray(z)
+                    if self.use_pallas:
+                        from .pallas_global import unpack_z
+
+                        zmat = unpack_z(zmat, qmax)
+                    zs.append(zmat[:, :, :nb])
         inv = np.empty(B, np.int64)
         inv[np.asarray(order)] = np.arange(B)
         score_all = np.concatenate(scores)[inv]

@@ -75,16 +75,55 @@ def partition_work(items: Iterator, ctx: DistContext) -> Iterator:
             yield item
 
 
+def _with_timeout(fn, timeout_s: float, what: str):
+    """Run fn() on a daemon thread; None if it does not finish in time.
+
+    The end-of-run collectives block forever if a peer died mid-run
+    (gloo has no failure detector); a bounded wait lets the survivors
+    finish their own shards, report local stats, and exit cleanly so a
+    re-run with the surviving topology (claim-based manifests accept any
+    process count) picks up the dead host's residue."""
+    import threading
+
+    box = []
+
+    def run():
+        try:
+            box.append(fn())
+        except Exception as e:  # noqa: BLE001 - surfaced as a warning
+            box.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not box or isinstance(box[0], Exception):
+        detail = f": {box[0]}" if box else " (timeout)"
+        print(
+            f"WARNING: {what} did not complete{detail} — a peer process "
+            f"likely died; continuing with local values. Re-run with the "
+            f"surviving process count to finish its share.",
+            flush=True,
+        )
+        return None
+    return box[0]
+
+
 def allreduce_stats(values: np.ndarray, ctx: DistContext) -> np.ndarray:
     """Sum an int64 stats vector across all hosts (psum over the global
-    mesh); identity for single-process runs."""
+    mesh); identity for single-process runs.  Falls back to the local
+    vector (with a loud warning) if the collective cannot complete
+    because a peer died."""
     if not ctx.initialized or ctx.process_count == 1:
         return values
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     from jax.experimental.multihost_utils import process_allgather
 
-    gathered = process_allgather(jnp.asarray(values))
-    return np.asarray(gathered).sum(axis=0)
+    timeout = float(os.environ.get("ARACHNE_COLLECTIVE_TIMEOUT", 120))
+    out = _with_timeout(
+        lambda: np.asarray(process_allgather(jnp.asarray(values))).sum(axis=0),
+        timeout,
+        "final stats allreduce",
+    )
+    return values if out is None else out
 
 
 def allreduce_max_int(value: int, ctx: DistContext) -> int:

@@ -296,3 +296,68 @@ class TestTwoProcessDeviceEngine:
         assert got == single
         for rc, log in outs:
             assert f["totals"] in log
+
+
+class TestCollectiveTimeout:
+    def test_with_timeout_returns_none_on_hang_and_value_on_success(self):
+        import time as _time
+
+        from arachne_tpu.parallel.distributed import _with_timeout
+
+        assert _with_timeout(lambda: 42, 5.0, "t") == 42
+        t0 = _time.time()
+        assert _with_timeout(lambda: _time.sleep(30), 0.3, "t") is None
+        assert _time.time() - t0 < 5
+        assert _with_timeout(lambda: 1 // 0, 5.0, "t") is None
+
+
+class TestSurvivorCompletes:
+    def test_one_host_dies_survivor_finishes_then_single_resume(self, fixture_dir):
+        """Failure detection light: host 1 dies mid-run; host 0 must NOT
+        wedge in the final stats collective — it finishes its own share
+        (bounded collective wait) and exits 0; a 1-process re-run then
+        completes the dead host's residue exactly-once."""
+        f = fixture_dir
+        out = str(f["dir"] / "out_survivor")
+        ckpt = str(f["dir"] / "survivor.ckpt")
+        port = _free_port()
+
+        def args_for(pid):
+            return [
+                "align", out, f["ref"], f["r1"], f["r2"],
+                "--engine", "oracle", "--sam", "-t", "1",
+                "--checkpoint", ckpt,
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2", "--process-id", str(pid),
+            ]
+
+        def env_for(pid):
+            env = {
+                "ARACHNE_CHECKPOINT_EVERY": "1",
+                "ARACHNE_COLLECTIVE_TIMEOUT": "15",
+            }
+            if pid == 1:
+                env["ARACHNE_CRASH_AFTER_SETS"] = "2"
+            return env
+
+        outs = _spawn_pair(args_for, port, extra_env_for=env_for, timeout=300)
+        rc0, log0 = outs[0]
+        rc1, log1 = outs[1]
+        assert rc1 != 0, log1   # injected death
+        # the survivor must complete its share and exit cleanly (rc 0) OR
+        # die of the coordination service noticing the peer -- either way
+        # its claimed sets are durable; prefer clean completion
+        if rc0 == 0:
+            assert "completed successfully" in log0
+        # single-process resume finishes everything
+        _run_cli(
+            ["align", out, f["ref"], f["r1"], f["r2"],
+             "--engine", "oracle", "--sam", "-t", "1", "--checkpoint", ckpt]
+        )
+        _run_cli(["merge", out])
+        single = sorted(_sam_records(os.path.join(f["single"], "bc_sorted_bam.sam")))
+        got = []
+        for fn in os.listdir(out):
+            if fn.startswith("bc_sorted_bam") and fn.endswith(".sam"):
+                got += _sam_records(os.path.join(out, fn))
+        assert sorted(got) == single
