@@ -359,4 +359,10 @@ def filter_chained_seeds(
             if s.score < 0 or s.score >= min_hsp_score:
                 s.score = s.len * opt.a if s.score < 0 else s.score
                 kept.append(s)
+        if len(kept) != len(c.seeds):
+            # the pre-fetched extension window (native chaining) was
+            # computed over ALL seeds; the reference computes rmax AFTER
+            # this filter (mem_chain2aln follows mem_flt_chained_seeds),
+            # so a narrower seed set must refetch
+            c.win_seq = None
         c.seeds = kept

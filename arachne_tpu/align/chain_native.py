@@ -28,7 +28,7 @@ import numpy as np
 
 from ..config import MemOptions
 from ..index.fmindex import FMIndex
-from ..native import chain_available, get_lib
+from ..native import chain_available, get_lib, native_threads
 from .chain import Chain, Seed
 
 _i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
@@ -76,13 +76,15 @@ def mem_chain_batch_native(
     reads: List[np.ndarray],
     opt: MemOptions,
     all_mems,
-    n_threads: int = 4,
+    n_threads: Optional[int] = None,
 ) -> Optional[List[List[Chain]]]:
     """mem_chain + mem_chain_flt over many reads in native code; returns
     kept chains (with pre-fetched extension windows) or None when the
     native library is unavailable."""
     if not chain_available():
         return None
+    if n_threads is None:
+        n_threads = native_threads()
     lib = get_lib()
     n_reads = len(reads)
     if n_reads == 0:

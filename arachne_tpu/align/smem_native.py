@@ -14,13 +14,13 @@ the typical handful of SMEMs per short read).
 from __future__ import annotations
 
 import ctypes
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
 from ..config import MemOptions
 from ..index.fmindex import FMIndex
-from ..native import get_lib, smem_available
+from ..native import get_lib, native_threads, smem_available
 from .smem import SMEM, collect_seeds
 
 
@@ -29,10 +29,12 @@ def collect_seeds_native(
     reads: List[np.ndarray],
     opt: MemOptions,
     MAXS: int = 256,
-    n_threads: int = 4,
+    n_threads: Optional[int] = None,
 ) -> List[List[SMEM]]:
     """Three-pass seed collection in native code; exact scalar output."""
     lib = get_lib()
+    if n_threads is None:
+        n_threads = native_threads()
     n = len(reads)
     if n == 0:
         return []

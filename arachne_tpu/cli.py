@@ -239,7 +239,14 @@ def run_align(args) -> None:
             except BaseException as e:  # noqa: BLE001 - reraised in main
                 writer_exc.append(e)
 
-    writer_thread = _threading.Thread(target=_writer_loop, name="bam-writer")
+    # daemon + try/finally: an exception anywhere on the consume path
+    # (a worker future, Ctrl-C, a writer error re-raised by emit_async)
+    # must still deliver the shutdown sentinel, or the process would
+    # wedge joining a blocked non-daemon thread instead of dying with
+    # the real error
+    writer_thread = _threading.Thread(
+        target=_writer_loop, name="bam-writer", daemon=True
+    )
     writer_thread.start()
 
     def emit_async(res, n_records, unique):
@@ -247,61 +254,68 @@ def run_align(args) -> None:
             raise writer_exc[0]
         emit_q.put((res, n_records, unique))
 
-    if engine is not None:
-        # superbatch pipeline: host phases of batch N overlap the device
-        # waits of batch N+1 (device calls release the GIL); results are
-        # consumed in order so output stays deterministic
-        import threading
-        from concurrent.futures import ThreadPoolExecutor
+    def consume():
+        if engine is not None:
+            # superbatch pipeline: host phases of batch N overlap the
+            # device waits of batch N+1 (device calls release the GIL);
+            # results are consumed in order so output stays deterministic
+            import threading
+            from concurrent.futures import ThreadPoolExecutor
 
-        from .ops.engine import TpuEngine
-        from .rfa.engine import process_barcodes
+            from .ops.engine import TpuEngine
+            from .rfa.engine import process_barcodes
 
-        tls = threading.local()
+            tls = threading.local()
 
-        def run_batch(batch):
-            eng = getattr(tls, "engine", None)
-            if eng is None:
-                eng = TpuEngine(idx, cfg)
-                tls.engine = eng
-            return process_barcodes(idx, cfg, batch, eng, centromeres)
+            def run_batch(batch):
+                eng = getattr(tls, "engine", None)
+                if eng is None:
+                    eng = TpuEngine(idx, cfg)
+                    tls.engine = eng
+                return process_barcodes(idx, cfg, batch, eng, centromeres)
 
-        batch_limit = int(
-            os.environ.get("ARACHNE_TEST_READS_PER_BATCH", 0)
-        ) or cfg.pipeline.reads_per_batch
+            batch_limit = int(
+                os.environ.get("ARACHNE_TEST_READS_PER_BATCH", 0)
+            ) or cfg.pipeline.reads_per_batch
 
-        def superbatches():
-            pending = []
-            pending_pairs = 0
-            for records, unique in stream:
-                pending.append((records, unique))
-                pending_pairs += len(records)
-                if pending_pairs >= batch_limit:
+            def superbatches():
+                pending = []
+                pending_pairs = 0
+                for records, unique in stream:
+                    pending.append((records, unique))
+                    pending_pairs += len(records)
+                    if pending_pairs >= batch_limit:
+                        yield pending
+                        pending = []
+                        pending_pairs = 0
+                if pending:
                     yield pending
-                    pending = []
-                    pending_pairs = 0
-            if pending:
-                yield pending
 
-        with ThreadPoolExecutor(max_workers=cfg.pipeline.num_workers) as pool:
-            futures = []
-            for batch in superbatches():
-                futures.append((pool.submit(run_batch, batch), batch))
-                while len(futures) > cfg.pipeline.num_workers:
-                    fut, b = futures.pop(0)
+            with ThreadPoolExecutor(max_workers=cfg.pipeline.num_workers) as pool:
+                futures = []
+                for batch in superbatches():
+                    futures.append((pool.submit(run_batch, batch), batch))
+                    while len(futures) > cfg.pipeline.num_workers:
+                        fut, b = futures.pop(0)
+                        for res, (recs, uniq) in zip(fut.result(), b):
+                            emit_async(res, len(recs), uniq)
+                for fut, b in futures:
                     for res, (recs, uniq) in zip(fut.result(), b):
                         emit_async(res, len(recs), uniq)
-            for fut, b in futures:
-                for res, (recs, uniq) in zip(fut.result(), b):
-                    emit_async(res, len(recs), uniq)
-    else:
-        for records, unique in stream:
-            res = do_rfa_for_one_barcode(
-                idx, cfg, records, unique, centromeres, extender=None
-            )
-            emit_async(res, len(records), unique)
-    emit_q.put(None)
-    writer_thread.join()
+        else:
+            for records, unique in stream:
+                res = do_rfa_for_one_barcode(
+                    idx, cfg, records, unique, centromeres, extender=None
+                )
+                emit_async(res, len(records), unique)
+
+    try:
+        consume()
+    finally:
+        # always deliver the sentinel: without it an error on the consume
+        # path would leave the writer blocked in q.get() forever
+        emit_q.put(None)
+        writer_thread.join()
     if writer_exc:
         raise writer_exc[0]
     # final manifest first (flushes writers for offsets), then close

@@ -199,23 +199,19 @@ class FMIndex:
         """sa_batch via native/smem.cpp; None if the library is absent."""
         import ctypes
 
-        from ..native import get_lib
+        from ..native import get_lib, native_threads
 
         lib = get_lib()
         if lib is None or not hasattr(lib, "sa_batch") or len(k) == 0:
             return None
-        words = self._words_c = getattr(
-            self, "_words_c", np.ascontiguousarray(self._words, np.uint32)
-        )
-        occ = self._occ_c = getattr(
-            self, "_occ_c", np.ascontiguousarray(self._occ, np.int64)
-        )
-        L2 = self._L2_c = getattr(
-            self, "_L2_c", np.ascontiguousarray(self.L2, np.int64)
-        )
-        sampled = self._sampled_c = getattr(
-            self, "_sampled_c", np.ascontiguousarray(self.fm.sa_sampled, np.int64)
-        )
+        if getattr(self, "_sa_tables_c", None) is None:
+            self._sa_tables_c = (
+                np.ascontiguousarray(self._words, np.uint32),
+                np.ascontiguousarray(self._occ, np.int64),
+                np.ascontiguousarray(self.L2, np.int64),
+                np.ascontiguousarray(self.fm.sa_sampled, np.int64),
+            )
+        words, occ, L2, sampled = self._sa_tables_c
         rows = np.ascontiguousarray(k, np.int64)
         out = np.empty(len(k), np.int64)
         i64p = ctypes.POINTER(ctypes.c_int64)
@@ -231,7 +227,7 @@ class FMIndex:
             rows.ctypes.data_as(i64p),
             ctypes.c_int64(len(k)),
             out.ctypes.data_as(i64p),
-            ctypes.c_int32(4),
+            ctypes.c_int32(native_threads()),
         )
         if rc != 0:
             return None

@@ -57,6 +57,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     path = _LIB_PATH if _fresh() else _build()
+    if path is None and os.path.exists(_LIB_PATH):
+        # rebuild failed (no toolchain / transient error) but a loadable
+        # library exists — use it; the per-symbol hasattr guards below
+        # handle any functions it predates
+        path = _LIB_PATH
     if path is None:
         return None
     try:
@@ -139,6 +144,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
     except Exception:
         _lib = None
     return _lib
+
+
+def native_threads() -> int:
+    """Worker threads for native batch calls: ARACHNE_NATIVE_THREADS, else
+    the machine's cores (capped) — the old hardcoded 4 both oversubscribed
+    small hosts and under-used big ones."""
+    import os as _os
+
+    env = _os.environ.get("ARACHNE_NATIVE_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, min(_os.cpu_count() or 4, 16))
 
 
 def smem_available() -> bool:

@@ -88,14 +88,25 @@ class TpuEngine:
                     if n_dev > 1 and table_bytes > budget
                     else "replicated"
                 )
+            budget = int(os.environ.get("ARACHNE_HBM_BUDGET", 8 << 30))
             if mode == "sharded" and n_dev > 1:
                 from ..parallel.mesh import ShardedFMTables, make_mesh
 
                 self.dfm = ShardedFMTables(idx, make_mesh(), wide=wide)
-            else:
+            elif table_bytes <= budget:
                 from .fm_rank import DeviceFMIndex
 
                 self.dfm = DeviceFMIndex.from_host(idx, wide=wide)
+            else:
+                # tables fit neither replicated (over budget) nor sharded
+                # (single device): graceful host-seeding fallback instead
+                # of an HBM OOM at upload
+                print(
+                    f"device seeding disabled: index tables "
+                    f"({table_bytes >> 20} MiB) exceed the per-chip budget "
+                    f"and no multi-device mesh is available to shard them",
+                    flush=True,
+                )
 
     def warmup(self) -> None:
         """Execute every device kernel once at its production batch shape.

@@ -136,8 +136,21 @@ def allreduce_max_int(value: int, ctx: DistContext) -> int:
         return value
     from jax.experimental.multihost_utils import process_allgather
 
-    gathered = process_allgather(jnp.asarray(np.int64(value)))
-    return int(np.asarray(gathered).max())
+    timeout = float(os.environ.get("ARACHNE_COLLECTIVE_TIMEOUT", 120))
+    out = _with_timeout(
+        lambda: int(np.asarray(process_allgather(jnp.asarray(np.int64(value)))).max()),
+        timeout,
+        "checkpoint generation agreement",
+    )
+    if out is None:
+        # unlike the end-of-run stats merge, generation agreement CANNOT
+        # fall back to local values (the fleet would split across
+        # generations); nothing has been written yet, so abort cleanly
+        raise RuntimeError(
+            "generation agreement collective failed — a peer process died "
+            "during startup; relaunch the fleet"
+        )
+    return out
 
 
 def shard_suffix(ctx: DistContext) -> str:

@@ -78,7 +78,14 @@ class Checkpoint:
         with open(path) as fh:
             d = json.load(fh)
         if d.get("version") != 2:
-            return None  # v1 manifests (pre-topology-safety) are not resumed
+            raise RuntimeError(
+                f"checkpoint manifest {path} uses an unsupported format "
+                f"(version {d.get('version', 1)}): resuming it silently "
+                f"would re-run everything while its .genN output shards "
+                f"survive and later merge as duplicates. Delete the old "
+                f"manifest and generation shards, or finish that run with "
+                f"the code that wrote it."
+            )
         return Checkpoint(
             r1=d.get("r1", ""),
             r2=d.get("r2", ""),

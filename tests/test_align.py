@@ -236,3 +236,30 @@ class TestChainNative:
                 ws, w0 = _chain_window(idx, q, b, OPT)
                 assert a.win_rmax0 == w0
                 assert np.array_equal(a.win_seq, ws)
+
+    def test_filtered_seeds_invalidate_prefetched_window(self, ref, monkeypatch):
+        """mem_flt_chained_seeds drops a seed -> the native path's
+        pre-fetched rmax window (computed over ALL seeds, like the
+        reference computes it AFTER the filter) must be refetched."""
+        import arachne_tpu.align.chain as chain_mod
+        from arachne_tpu.align.chain import Chain, Seed, filter_chained_seeds
+        from arachne_tpu.config import MemOptions
+
+        idx, fwd = ref
+        opt = MemOptions(min_chain_weight=1)  # activates the seed filter
+        q = fwd[:60].copy()
+        c = Chain(
+            pos=0, rid=0,
+            seeds=[Seed(rbeg=0, qbeg=0, len=30, score=30),
+                   Seed(rbeg=1000, qbeg=30, len=30, score=30)],
+        )
+        c.win_seq = np.zeros(8, np.uint8)
+        c.win_rmax0 = 0
+        # drop the second seed regardless of its SW score
+        monkeypatch.setattr(
+            chain_mod, "_seed_sw",
+            lambda idx_, q_, s, opt_, mat: 0 if s.rbeg else -1,
+        )
+        filter_chained_seeds(idx, q, [c], opt)
+        assert len(c.seeds) == 1
+        assert c.win_seq is None  # stale window cleared
