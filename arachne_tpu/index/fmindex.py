@@ -295,16 +295,29 @@ class FMIndex:
 
     def fetch_seq(self, beg: int, mid: int, end: int) -> Tuple[np.ndarray, int, int, int]:
         """bns_fetch_seq: clamp [beg,end) to the contig containing mid and
-        return (seq, rid, clamped_beg, clamped_end)."""
+        return (seq, rid, clamped_beg, clamped_end).
+
+        Scalar path in pure Python (bisect over a cached offsets list):
+        the vectorized depos/pos2rid on 1-element arrays cost ~25 us of
+        numpy call overhead per window — a quarter of the RFA host stage
+        at 10k windows/superbatch."""
+        import bisect as _bisect
+
         if end < beg:
             beg, end = end, beg
-        fmid, is_rev = self.depos(np.array([mid]))
-        rid = int(self.pos2rid(fmid)[0])
+        mid = int(mid)
+        two = self.l_pac << 1
+        is_rev = mid >= self.l_pac
+        fmid = (two - 1 - mid) if is_rev else mid
+        offs = getattr(self, "_offsets_list", None)
+        if offs is None:
+            offs = self._offsets_list = self._offsets.tolist()
+        rid = _bisect.bisect_right(offs, fmid) - 1
         ann = self.packed.anns[rid]
         far_beg = ann.offset
         far_end = far_beg + ann.length
-        if is_rev[0]:
-            far_beg, far_end = (self.l_pac << 1) - far_end, (self.l_pac << 1) - far_beg
+        if is_rev:
+            far_beg, far_end = two - far_end, two - far_beg
         beg = max(beg, far_beg)
         end = min(end, far_end)
         return self.get_seq(beg, end), rid, beg, end

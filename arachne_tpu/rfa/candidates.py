@@ -164,6 +164,7 @@ def get_alignments(
             if ch.score > best_score:
                 best_score = ch.score
         for ch in barcode_chains[i]:
+            codes = None
             if ch.easy is not None:
                 codes = seq_to_codes(ch.read)
                 if mem_cache is not None:
@@ -195,7 +196,10 @@ def get_alignments(
                 ref_seq = idx.get_contig_seq(chrom, ref_start, ref_end, rev)
             else:
                 ref_seq = np.empty(0, dtype=np.uint8)
-            read_seq = seq_to_codes(ch.read) if ch.read else np.empty(0, dtype=np.uint8)
+            if codes is not None:
+                read_seq = codes
+            else:
+                read_seq = seq_to_codes(ch.read) if ch.read else np.empty(0, dtype=np.uint8)
             ref_off = 0
             read_off = 0
             # walk the CIGAR; reversed hits walk it back-to-front so offsets
