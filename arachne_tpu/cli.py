@@ -361,6 +361,42 @@ def run_align(args) -> None:
     return stats
 
 
+def run_status(ckpt_base: str, stale_after: float = 300.0) -> int:
+    """Failure detection, manifest-side: every host's claim progress and
+    the age of its last save.  A host whose manifest has gone stale while
+    its claim is unfinished has likely died — its residue is recoverable
+    by re-running with any process count (claim-based resume,
+    runtime/checkpoint.py).  Returns 1 if any host looks stale/dead."""
+    import glob as _glob
+    import re as _re
+
+    from .runtime.checkpoint import Checkpoint
+
+    base = _re.sub(r"\.host\d+$", "", ckpt_base)
+    paths = sorted(set(_glob.glob(base) + _glob.glob(base + ".host*")))
+    paths = [p for p in paths if not p.endswith(".tmp")]
+    if not paths:
+        print(f"no manifests found at {base}[.host*]")
+        return 1
+    now = time.time()
+    stale = False
+    for p in paths:
+        ck = Checkpoint.load(p)
+        if ck is None:
+            continue
+        age = now - os.path.getmtime(p)
+        own = ck.claims[-1] if ck.claims else None
+        claims = ", ".join(
+            f"g{c.g} h{c.h}/{c.P}: {c.n} sets" for c in ck.claims
+        )
+        flag = ""
+        if own is not None and age > stale_after:
+            flag = f"  ** STALE ({age:.0f}s since last save — host likely dead; re-run to recover its residue)"
+            stale = True
+        print(f"{p}: last save {age:.0f}s ago; {claims}{flag}")
+    return 1 if stale else 0
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(
         prog="arachne_tpu",
@@ -455,6 +491,15 @@ def main(argv=None) -> None:
     mg = sub.add_parser("merge", help="merge resume-generation output shards")
     mg.add_argument("output_dir")
 
+    stt = sub.add_parser(
+        "status", help="report fleet progress/staleness from checkpoint manifests"
+    )
+    stt.add_argument("checkpoint", help="manifest base path (as passed to --checkpoint)")
+    stt.add_argument(
+        "--stale-after", type=float, default=300.0,
+        help="seconds since last save before a host is flagged stale",
+    )
+
     args = parser.parse_args(argv)
     enable_compilation_cache()
     if args.command == "align":
@@ -505,6 +550,9 @@ def main(argv=None) -> None:
 
         stats = evaluate_sam(args.sam, args.tolerance)
         print(stats.as_csv(), end="")
+    elif args.command == "status":
+        rc = run_status(args.checkpoint, args.stale_after)
+        raise SystemExit(rc)
     elif args.command == "merge":
         from .io.merge import merge_generations
 

@@ -269,3 +269,27 @@ class TestAccuracy:
         assert stats.total_mapq10 == 2 and stats.correct_mapq10 == 2
         csv = stats.as_csv()
         assert "all,3,2" in csv
+
+
+class TestStatusCommand:
+    def test_status_reports_claims_and_staleness(self, tmp_path, capsys):
+        import os
+        import time as _time
+
+        from arachne_tpu.cli import run_status
+        from arachne_tpu.runtime.checkpoint import Checkpoint, Claim
+
+        base = str(tmp_path / "fleet.ckpt")
+        Checkpoint(r1="a", r2="b", claims=[Claim(0, 0, 2, 5)]).save(base + ".host000")
+        Checkpoint(r1="a", r2="b", claims=[Claim(0, 1, 2, 3)]).save(base + ".host001")
+        # host001 saved long ago
+        old = _time.time() - 10_000
+        os.utime(base + ".host001", (old, old))
+        rc = run_status(base, stale_after=300)
+        out = capsys.readouterr().out
+        assert rc == 1
+        assert "g0 h0/2: 5 sets" in out
+        assert "STALE" in out
+        # everything fresh -> rc 0
+        os.utime(base + ".host001", None)
+        assert run_status(base, stale_after=300) == 0
