@@ -24,9 +24,11 @@ from .fastq import FastQReader, open_maybe_gzip
 BX_RE = re.compile(rb"BX:Z:(\S+)\s")
 VX_RE = re.compile(rb"VX:i:([01])\s")
 HAPLOTAGGING_RE = re.compile(rb"BX:Z:(A\d{2}C\d{2}B\d{2}D\d{2})\s")
-STLFR_RE = re.compile(rb"#([0-9]+_[0-9]+_[0-9]+)\s")
+# real stLFR read ids carry the pair suffix AFTER the barcode
+# (@name#512_796_1404/1), so the terminator is whitespace OR /1 / /2
+STLFR_RE = re.compile(rb"#([0-9]+_[0-9]+_[0-9]+)(?:/[12])?\s")
 STLFR_INVALID_RE = re.compile(r"^0_|_0_|_0$")
-TELLSEQ_RE = re.compile(rb":([ATCGN]+)\s")
+TELLSEQ_RE = re.compile(rb":([ATCGN]+)(?:/[12])?\s")
 
 
 def detect_format(r1_path: str, r2_path: str, n_probe: int = 200) -> str:

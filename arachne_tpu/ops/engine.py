@@ -60,8 +60,6 @@ class TpuEngine:
             # masquerades as platform "tpu"; detect it via JAX_PLATFORMS) —
             # measured 235 reads/s device vs 1110 reads/s host there.
             # Auto-enable only on regular, locally attached cpu/tpu.
-            import os
-
             import jax
 
             platform = jax.devices()[0].platform

@@ -198,3 +198,73 @@ class TestBAMBinary:
             n_records += 1
             off += 4 + block_size
         assert n_records == 4  # 2 pairs x 2 mates
+
+
+class TestStandardizeThenAlign:
+    def test_stlfr_input_through_full_pipeline(self, tmp_path):
+        """stLFR-style headers (#x_y_z barcodes) -> standardize -> align:
+        the whole conversion+alignment flow the reference intended but
+        never shipped (standardize.go does not compile, SURVEY.md 2.4)."""
+        import gzip
+
+        import numpy as np
+
+        from arachne_tpu.index import parse_fasta
+        from arachne_tpu.io.simulate import SimConfig, simulate_linked_reads
+        from arachne_tpu.io.standardize import detect_format, standardize
+
+        rng = np.random.default_rng(77)
+        seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 60_000)])
+        ref = str(tmp_path / "ref.fa")
+        with open(ref, "w") as fh:
+            fh.write(">chrS\n")
+            for i in range(0, len(seq), 70):
+                fh.write(seq[i : i + 70] + "\n")
+        std1 = str(tmp_path / "std.R1.fq.gz")
+        std2 = str(tmp_path / "std.R2.fq.gz")
+        simulate_linked_reads(
+            parse_fasta(ref), std1, std2,
+            SimConfig(n_barcodes=4, molecules_per_barcode=2, pairs_per_molecule=8,
+                      seed=5),
+        )
+        # rewrite standard BX:Z headers as stLFR #x_y_z suffixes
+        raw1 = str(tmp_path / "stlfr.R1.fq.gz")
+        raw2 = str(tmp_path / "stlfr.R2.fq.gz")
+        for src_p, dst in ((std1, raw1), (std2, raw2)):
+            with gzip.open(src_p, "rt") as fi, gzip.open(dst, "wt") as fo:
+                bcmap = {}
+                while True:
+                    h = fi.readline()
+                    if not h:
+                        break
+                    body = [fi.readline() for _ in range(3)]
+                    name, rest = h.rstrip("\n").split("\t", 1)
+                    bc = rest.split("BX:Z:")[1].split("\t")[0]
+                    code = bcmap.setdefault(bc, f"{len(bcmap)+1}_{len(bcmap)+2}_{len(bcmap)+3}")
+                    base = name.split("/")[0]
+                    suff = "/" + name.split("/")[1] if "/" in name else ""
+                    fo.write(f"{base}#{code}{suff}\n" + "".join(body))
+        assert detect_format(raw1, raw2) == "stlfr"
+        conv1 = str(tmp_path / "conv.R1.fq.gz")
+        conv2 = str(tmp_path / "conv.R2.fq.gz")
+        standardize(raw1, raw2, conv1, conv2)
+        # aligned output of converted input == aligned output of the
+        # original standard input, modulo the barcode strings
+        out_a = str(tmp_path / "out_std")
+        out_b = str(tmp_path / "out_conv")
+        cli_main(["align", out_a, ref, std1, std2, "--engine", "oracle", "--sam", "-t", "1"])
+        cli_main(["align", out_b, ref, conv1, conv2, "--engine", "oracle", "--sam", "-t", "1"])
+
+        def recs(p, strip_bx=True):
+            out = []
+            for l in open(p):
+                if l.startswith("@"):
+                    continue
+                f = [x for x in l.rstrip("\n").split("\t") if not x.startswith("BX:Z:")]
+                out.append("\t".join(f))
+            return sorted(out)
+
+        import os
+        a = recs(os.path.join(out_a, "bc_sorted_bam.sam"))
+        b = recs(os.path.join(out_b, "bc_sorted_bam.sam"))
+        assert a == b and len(a) > 0

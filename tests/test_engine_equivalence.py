@@ -163,3 +163,34 @@ class TestSuperbatch:
         for a, b in zip(singles, batched):
             assert a.ran_rfa == b.ran_rfa
             assert snapshot(a) == snapshot(b)
+
+
+class TestHbmBudgetFallback:
+    def test_oversized_tables_fall_back_to_host_seeding(self, monkeypatch, capsys):
+        """A single-device mesh whose index tables exceed the HBM budget
+        must disable device seeding gracefully (no table upload / OOM)."""
+        import numpy as np
+
+        from arachne_tpu.config import ArachneConfig
+        from arachne_tpu.index import FMIndex, build_fmindex, pack_reference
+        from arachne_tpu.ops.engine import TpuEngine
+
+        rng = np.random.default_rng(8)
+        seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 4000)])
+        packed = pack_reference([("c", "", seq)])
+        idx = FMIndex(packed, build_fmindex(packed))
+        monkeypatch.setenv("ARACHNE_HBM_BUDGET", "1")  # nothing fits
+        # with a multi-device mesh the over-budget index correctly SHARDS
+        eng = TpuEngine(idx, ArachneConfig(), device_seeding=True)
+        from arachne_tpu.parallel.mesh import ShardedFMTables
+
+        assert isinstance(eng.dfm, ShardedFMTables)
+        # on a single device there is nothing to shard across: graceful
+        # host-seeding fallback instead of an HBM OOM at table upload
+        import jax
+
+        dev0 = jax.devices()[0]
+        monkeypatch.setattr(jax, "devices", lambda *a, **k: [dev0])
+        eng1 = TpuEngine(idx, ArachneConfig(), device_seeding=True)
+        assert eng1.dfm is None
+        assert "device seeding disabled" in capsys.readouterr().out
