@@ -201,10 +201,12 @@ class TestBAMBinary:
 
 
 class TestStandardizeThenAlign:
-    def test_stlfr_input_through_full_pipeline(self, tmp_path):
-        """stLFR-style headers (#x_y_z barcodes) -> standardize -> align:
-        the whole conversion+alignment flow the reference intended but
-        never shipped (standardize.go does not compile, SURVEY.md 2.4)."""
+    @pytest.mark.parametrize("fmt", ["stlfr", "tellseq"])
+    def test_native_format_through_full_pipeline(self, tmp_path, fmt):
+        """stLFR (#x_y_z) and TELLseq (:ACGT) native headers ->
+        standardize -> align: the whole conversion+alignment flow the
+        reference intended but never shipped (standardize.go does not
+        compile, SURVEY.md 2.4)."""
         import gzip
 
         import numpy as np
@@ -227,9 +229,10 @@ class TestStandardizeThenAlign:
             SimConfig(n_barcodes=4, molecules_per_barcode=2, pairs_per_molecule=8,
                       seed=5),
         )
-        # rewrite standard BX:Z headers as stLFR #x_y_z suffixes
-        raw1 = str(tmp_path / "stlfr.R1.fq.gz")
-        raw2 = str(tmp_path / "stlfr.R2.fq.gz")
+        # rewrite standard BX:Z headers in the native format under test
+        raw1 = str(tmp_path / "native.R1.fq.gz")
+        raw2 = str(tmp_path / "native.R2.fq.gz")
+        bases = ["AACCGGTT", "ACGTACGT", "TTGGCCAA", "TGCATGCA"]
         for src_p, dst in ((std1, raw1), (std2, raw2)):
             with gzip.open(src_p, "rt") as fi, gzip.open(dst, "wt") as fo:
                 bcmap = {}
@@ -240,11 +243,16 @@ class TestStandardizeThenAlign:
                     body = [fi.readline() for _ in range(3)]
                     name, rest = h.rstrip("\n").split("\t", 1)
                     bc = rest.split("BX:Z:")[1].split("\t")[0]
-                    code = bcmap.setdefault(bc, f"{len(bcmap)+1}_{len(bcmap)+2}_{len(bcmap)+3}")
+                    if fmt == "stlfr":
+                        code = "#" + bcmap.setdefault(
+                            bc, f"{len(bcmap)+1}_{len(bcmap)+2}_{len(bcmap)+3}"
+                        )
+                    else:
+                        code = ":" + bcmap.setdefault(bc, bases[len(bcmap) % 4])
                     base = name.split("/")[0]
                     suff = "/" + name.split("/")[1] if "/" in name else ""
-                    fo.write(f"{base}#{code}{suff}\n" + "".join(body))
-        assert detect_format(raw1, raw2) == "stlfr"
+                    fo.write(f"{base}{code}{suff}\n" + "".join(body))
+        assert detect_format(raw1, raw2) == fmt
         conv1 = str(tmp_path / "conv.R1.fq.gz")
         conv2 = str(tmp_path / "conv.R2.fq.gz")
         standardize(raw1, raw2, conv1, conv2)
