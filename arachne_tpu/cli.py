@@ -460,6 +460,13 @@ def main(argv=None) -> None:
         "--bwa-format", action="store_true",
         help="also write bwa-compatible .bwt/.sa/.pac/.ann/.amb files",
     )
+    ix.add_argument(
+        "--build-mode", choices=["auto", "sais", "incremental"], default="auto",
+        help="construction algorithm: sais = full in-RAM suffix array "
+        "(fast, ~28 GB peak per Gbp of fwd+rev rows); incremental = "
+        "memory-proportional dynamic BWT (the large-genome path, "
+        "bwtindex.c:271 semantics); auto switches on genome size",
+    )
 
     st = sub.add_parser("standardize", help="convert linked-read FASTQ to BX:Z/VX:i form")
     st.add_argument("r1")
@@ -509,7 +516,10 @@ def main(argv=None) -> None:
 
         mode = "sampled" if args.sampled_sa else args.sa_mode
         keep = {"auto": "auto", "full": True, "sampled": False}[mode]
-        out = build_index_files(args.reference, keep_full_sa=keep)
+        out = build_index_files(
+            args.reference, keep_full_sa=keep,
+            build_mode=args.build_mode, progress=True,
+        )
         print(f"Index written to {out}")
         if args.bwa_format:
             from .index import load_index

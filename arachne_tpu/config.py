@@ -143,6 +143,15 @@ class IndexOptions:
     # build-on-demand in `align`.
     sa_mode: str = "auto"
     sa_full_max_len: int = 1 << 26
+    # Construction algorithm: "sais" materializes the full int64 suffix
+    # array in RAM (fast below ~0.5 Gbp but ~28 GB peak per Gbp of
+    # fwd+rev rows); "incremental" is the memory-proportional ropebwt-style
+    # dynamic-BWT build (native/ropebwt.cpp; the reference's own answer
+    # above 50 Mbp, bwtindex.c:271).  "auto" switches to incremental once
+    # fwd+rev exceeds build_incremental_min_rows, keeping peak RSS within
+    # a ~32 GB budget at any genome size.
+    build_mode: str = "auto"
+    build_incremental_min_rows: int = 1_000_000_000
 
 
 @dataclass(frozen=True)

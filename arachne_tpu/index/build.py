@@ -310,6 +310,111 @@ def occ_checkpoints(
     return occ[:n_blocks]
 
 
+def codes2_packed(packed: PackedReference, chunk: int = 1 << 24) -> Tuple[np.ndarray, np.ndarray]:
+    """2-bit packed fwd+revcomp concatenation + symbol counts, chunked.
+
+    Produces the incremental builder's input without materializing the
+    full uint8 codes2 (n bytes saved -> n/4); counts feed L2."""
+    n = 2 * packed.l_pac
+    out = np.zeros((n + 3) // 4, dtype=np.uint8)
+    counts = np.zeros(4, dtype=np.int64)
+    # chunk must stay a multiple of 4 so packed chunks butt-join bytewise
+    for start in range(0, n, chunk):
+        end = min(start + chunk, n)
+        if start < packed.l_pac:
+            fwd_end = min(end, packed.l_pac)
+            seg = unpack_2bit(packed.pac, start, fwd_end)
+            if end > packed.l_pac:  # chunk straddles the fwd/rev boundary
+                rev_hi = packed.l_pac - 0
+                rev_lo = packed.l_pac - (end - packed.l_pac)
+                tail = 3 - unpack_2bit(packed.pac, rev_lo, rev_hi)[::-1]
+                seg = np.concatenate([seg, tail.astype(np.uint8)])
+        else:
+            # rev region: codes2[j] = 3 - fwd[2*l_pac - 1 - j]
+            rev_hi = 2 * packed.l_pac - start
+            rev_lo = 2 * packed.l_pac - end
+            seg = (3 - unpack_2bit(packed.pac, rev_lo, rev_hi)[::-1]).astype(np.uint8)
+        counts += np.bincount(seg, minlength=4).astype(np.int64)
+        out[start // 4 : start // 4 + (len(seg) + 3) // 4] = pack_2bit(seg)
+    return out, counts
+
+
+def build_fmindex_incremental(
+    packed: PackedReference, sa_intv: int = 32, progress: bool = False
+) -> FMIndexData:
+    """Memory-proportional FM-index build via incremental BWT.
+
+    The reference hits the same scaling wall and switches from full-SA
+    construction to incremental ropebwt2 above 50 Mbp (bwtindex.c:271,
+    rope.c); this is that strategy over our planar layout: a C++ B+-tree
+    dynamic-rank sequence prepends one text symbol per step
+    (native/ropebwt.cpp), then one LF-cycle walk samples the SA
+    (bwt_cal_sa semantics, bwt.c:62-84).  Peak memory is O(n/4) instead of
+    the ~8n-byte in-RAM suffix array, which is what makes >=2^31-row
+    (human-scale) indexes buildable at all.  Output is bit-identical to
+    build_fmindex (parity: tests/test_index_incremental.py)."""
+    from ..native import rb_bwt_build_native, sa_sample_walk_native
+
+    n = 2 * packed.l_pac
+    pac2, counts = codes2_packed(packed)
+    prog = np.zeros(1, dtype=np.int64)
+    mon = None
+    if progress:
+        import threading
+        import time as _time
+
+        stop = {"done": False}
+
+        def _report():
+            t0 = _time.time()
+            while not stop["done"]:
+                _time.sleep(15)
+                done = int(prog[0])
+                if done and not stop["done"]:
+                    rate = done / max(1e-9, _time.time() - t0)
+                    eta = (n - done) / max(1.0, rate)
+                    print(
+                        f"[index] incremental BWT {done/1e6:.0f}/{n/1e6:.0f} Msym "
+                        f"({rate/1e6:.1f} Msym/s, eta {eta/60:.1f} min)",
+                        flush=True,
+                    )
+
+        mon = threading.Thread(target=_report, daemon=True)
+        mon.start()
+    try:
+        res = rb_bwt_build_native(pac2, n, prog)
+    finally:
+        if progress:
+            stop["done"] = True
+    if res is None:
+        raise RuntimeError(
+            "incremental index build requires the native toolchain "
+            "(native/ropebwt.cpp failed to build or load); use build_mode='sais'"
+        )
+    bwt_pac2, primary = res
+    del pac2
+    bwt_chars = unpack_2bit(bwt_pac2, 0, n)
+    del bwt_pac2
+    L2 = np.zeros(5, dtype=np.int64)
+    np.cumsum(counts, out=L2[1:])
+    words = pack_bwt_words(bwt_chars)
+    occ = occ_checkpoints(bwt_chars)
+    del bwt_chars
+    sampled = sa_sample_walk_native(words, occ, L2, primary, n, sa_intv)
+    if sampled is None:
+        raise RuntimeError("native sa_sample_walk unavailable")
+    return FMIndexData(
+        seq_len=n,
+        primary=primary,
+        L2=L2,
+        bwt_words=words,
+        occ=occ,
+        sa=None,
+        sa_sampled=sampled,
+        sa_intv=sa_intv,
+    )
+
+
 def build_fmindex(
     packed: PackedReference,
     sa_intv: int = 32,
@@ -348,7 +453,10 @@ def build_fmindex(
 # ---------------------------------------------------------------------------
 
 def save_index(path: str, packed: PackedReference, fm: FMIndexData) -> None:
-    np.savez_compressed(
+    # compression saves ~40% on small indexes but costs minutes of
+    # single-thread zlib on genome-scale ones; store raw above 1 Gbp rows
+    saver = np.savez_compressed if fm.seq_len <= 1_000_000_000 else np.savez
+    saver(
         path,
         pac=packed.pac,
         l_pac=np.int64(packed.l_pac),
@@ -397,22 +505,39 @@ def load_index(path: str) -> Tuple[PackedReference, FMIndexData]:
 
 
 def build_index_files(
-    fasta_path: str, out_prefix: Optional[str] = None, keep_full_sa="auto"
+    fasta_path: str,
+    out_prefix: Optional[str] = None,
+    keep_full_sa="auto",
+    build_mode: str = "auto",
+    progress: bool = False,
 ) -> str:
     """CLI helper: build and save a native index next to the FASTA.
 
     ``keep_full_sa`` may be True/False or "auto" (config.IndexOptions
     sa_mode): auto keeps the dense SA only when fwd+rev is at most
     sa_full_max_len rows, so genome-scale indexes stay sampled-SA by
-    default (the full SA for GRCh38 alone would be ~50 GB)."""
+    default (the full SA for GRCh38 alone would be ~50 GB).
+
+    ``build_mode`` selects the construction algorithm ("auto"/"sais"/
+    "incremental", IndexOptions.build_mode): auto uses the in-RAM SA-IS
+    below build_incremental_min_rows and the memory-proportional
+    incremental BWT (native/ropebwt.cpp) above it."""
     from ..config import IndexOptions
 
+    opts = IndexOptions()
     out = (out_prefix or fasta_path) + ".arx.npz"
     contigs = parse_fasta(fasta_path)
     packed = pack_reference(contigs)
-    if keep_full_sa == "auto":
-        opts = IndexOptions()
-        keep_full_sa = 2 * packed.l_pac <= opts.sa_full_max_len
-    fm = build_fmindex(packed, keep_full_sa=bool(keep_full_sa))
+    n_rows = 2 * packed.l_pac
+    if build_mode == "auto":
+        build_mode = (
+            "incremental" if n_rows > opts.build_incremental_min_rows else "sais"
+        )
+    if build_mode == "incremental":
+        fm = build_fmindex_incremental(packed, progress=progress)
+    else:
+        if keep_full_sa == "auto":
+            keep_full_sa = n_rows <= opts.sa_full_max_len
+        fm = build_fmindex(packed, keep_full_sa=bool(keep_full_sa))
     save_index(out, packed, fm)
     return out

@@ -19,7 +19,13 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-_SOURCES = ["sais.cpp", "smem.cpp", "chain.cpp"]
+_SOURCES = ["sais.cpp", "smem.cpp", "chain.cpp", "ropebwt.cpp"]
+
+# Expected ABI of the compiled library (ARACHNE_NATIVE_ABI in ropebwt.cpp).
+# A cached .so that predates a signature change reports an older value (or
+# lacks the symbol entirely) and is rejected rather than loaded with
+# mismatched ctypes argtypes, which would corrupt memory silently.
+_EXPECTED_ABI = 4
 
 
 def _build() -> Optional[str]:
@@ -66,6 +72,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return None
     try:
         lib = ctypes.CDLL(path)
+        if not hasattr(lib, "arachne_native_abi"):
+            return None  # pre-ABI stale .so: fall back to host paths
+        lib.arachne_native_abi.restype = ctypes.c_int64
+        if lib.arachne_native_abi() != _EXPECTED_ABI:
+            return None  # stale .so with a different ABI: unsafe to bind
         lib.sais_u8_i64.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int64),
@@ -140,6 +151,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.chain_batch.restype = ctypes.c_int
         except AttributeError:
             pass  # stale .so without chain support
+        try:
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i64pp = ctypes.POINTER(ctypes.c_int64)
+            lib.rb_bwt_build.argtypes = [
+                u8p, ctypes.c_int64, u8p, i64pp, i64pp,
+            ]
+            lib.rb_bwt_build.restype = ctypes.c_int
+            lib.sa_sample_walk.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                i64pp, i64pp,                       # occ, L2
+                ctypes.c_int64, ctypes.c_int64,     # primary, seq_len
+                ctypes.c_int64, i64pp,              # sa_intv, out
+            ]
+            lib.sa_sample_walk.restype = ctypes.c_int
+        except AttributeError:
+            pass  # stale .so without incremental-build support
         _lib = lib
     except Exception:
         _lib = None
@@ -170,6 +197,74 @@ def chain_available() -> bool:
 
 def sais_available() -> bool:
     return get_lib() is not None
+
+
+def ropebwt_available() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "rb_bwt_build")
+
+
+def rb_bwt_build_native(
+    pac2: np.ndarray, n: int, progress: Optional[np.ndarray] = None
+) -> Optional[tuple]:
+    """Incremental BWT of an n-symbol 2-bit-packed text (ropebwt.cpp).
+
+    Returns (bwt_pac2, primary) with the stored BWT in the same 4-per-byte
+    high-first packing, or None when the native library is unavailable.
+    ``progress`` may be a 1-element int64 array the builder updates with the
+    number of processed symbols (poll it from another thread; the ctypes
+    call releases the GIL)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "rb_bwt_build"):
+        return None
+    out = np.zeros((n + 3) // 4, dtype=np.uint8)
+    primary = np.zeros(1, dtype=np.int64)
+    if progress is None:
+        progress = np.zeros(1, dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.rb_bwt_build(
+        pac2.ctypes.data_as(u8p),
+        np.int64(n),
+        out.ctypes.data_as(u8p),
+        primary.ctypes.data_as(i64p),
+        progress.ctypes.data_as(i64p),
+    )
+    if rc != 0:
+        return None
+    return out, int(primary[0])
+
+
+def sa_sample_walk_native(
+    bwt_words: np.ndarray,
+    occ: np.ndarray,
+    L2: np.ndarray,
+    primary: int,
+    seq_len: int,
+    sa_intv: int,
+) -> Optional[np.ndarray]:
+    """Sampled SA via one full LF-cycle walk (bwt_cal_sa, bwt.c:62-84)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sa_sample_walk"):
+        return None
+    out = np.zeros(seq_len // sa_intv + 1, dtype=np.int64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    occ_c = np.ascontiguousarray(occ, dtype=np.int64)
+    L2_c = np.ascontiguousarray(L2, dtype=np.int64)
+    rc = lib.sa_sample_walk(
+        bwt_words.ctypes.data_as(u32p),
+        np.int64(len(bwt_words)),
+        occ_c.ctypes.data_as(i64p),
+        L2_c.ctypes.data_as(i64p),
+        np.int64(primary),
+        np.int64(seq_len),
+        np.int64(sa_intv),
+        out.ctypes.data_as(i64p),
+    )
+    if rc != 0:
+        return None
+    return out
 
 
 def suffix_array_native(codes: np.ndarray) -> Optional[np.ndarray]:

@@ -331,6 +331,28 @@ static inline int64_t inv_psi(const FM& fm, int64_t k) {
 
 }  // namespace
 
+// Build the sampled suffix array by walking the full LF cycle once
+// (bwt_cal_sa semantics, bwt.c:62-84): start at row 0 (SA value n) and
+// apply invPsi/LF n times, recording SA values at every sa_intv-th row.
+// Used by the incremental (ropebwt) index build, which has no full SA to
+// sample from.  out_sampled must hold n/sa_intv + 1 entries; entry 0 is
+// overwritten with the -1 sentinel to mirror build_fmindex.
+extern "C" int sa_sample_walk(
+    const uint32_t* words, int64_t n_words, const int64_t* occ,
+    const int64_t* L2, int64_t primary, int64_t seq_len,
+    int64_t sa_intv, int64_t* out_sampled) {
+    FM fm{words, occ, L2, primary, seq_len, n_words};
+    const int64_t mask = sa_intv - 1;
+    const int shift = __builtin_ctzll((uint64_t)sa_intv);
+    int64_t cur = 0;
+    for (int64_t v = seq_len; v >= 0; --v) {
+        if ((cur & mask) == 0) out_sampled[cur >> shift] = v;
+        if (v) cur = inv_psi(fm, cur);
+    }
+    out_sampled[0] = -1;  // bwt_cal_sa's sa[0] = -1 sentinel (bwt.c:83)
+    return 0;
+}
+
 extern "C" int sa_batch(
     const uint32_t* words, int64_t n_words, const int64_t* occ,
     const int64_t* L2, int64_t primary, int64_t seq_len,
