@@ -131,7 +131,16 @@ def run_align(args) -> None:
         print(f"Multi-host: process {ctx.process_index}/{ctx.process_count}")
     engine_kind = resolve_engine(args.engine)
     cfg = ArachneConfig(
-        rfa=RFAOptions(improper_pair_penalty=args.improper_pair_penalty),
+        rfa=RFAOptions(
+            improper_pair_penalty=args.improper_pair_penalty,
+            # --no-rfa: an unreachable pair threshold turns worth_running_rfa
+            # off for every barcode (engine.py:31-48)
+            **(
+                {"rfa_min_read_pairs": 1 << 60}
+                if getattr(args, "no_rfa", False)
+                else {}
+            ),
+        ),
         output=OutputOptions(
             position_chunk_size=args.partitions,
             read_groups=args.read_group,
@@ -413,6 +422,12 @@ def main(argv=None) -> None:
     al.add_argument("-t", "--threads", type=int, default=2)
     al.add_argument("--sam", action="store_true", help="emit SAM text instead of BAM")
     al.add_argument("--debug-tags", action="store_true")
+    al.add_argument(
+        "--no-rfa", action="store_true",
+        help="disable barcode-joint (RFA) alignment: every barcode takes "
+        "the plain paired-end path (estimateMapQualities with nil "
+        "molecules, aligner.go:471); for A/B studies of molecule evidence",
+    )
     al.add_argument(
         "--engine", choices=["auto", "oracle", "tpu"], default="auto",
         help="auto = batched device engine on accelerators, oracle on cpu",

@@ -81,6 +81,102 @@ def make_repeat_genome(
     return "".join("ACGT"[c] for c in g)
 
 
+def make_rfa_decisive_fixture(
+    out_fasta: str,
+    out_r1: str,
+    out_r2: str,
+    genome_len: int = 400_000,
+    unit_len: int = 4_000,
+    pos_a: int = 100_000,
+    pos_b: int = 260_000,
+    read_len: int = 150,
+    frag: int = 350,
+    n_anchor_pairs: int = 16,
+    n_interior_pairs: int = 12,
+    n_background_barcodes: int = 2,
+    seed: int = 33,
+) -> dict:
+    """The fixture where barcode-joint (RFA) alignment is *decisive*.
+
+    Constructed to the round-3 study's prescription of what plain
+    paired-end + flank evidence cannot resolve (BASELINE.md round-3 row):
+
+      * one repeat unit of ``unit_len`` >= 2x fragment length, copied
+        EXACTLY (100% identity) at two loci > 50 kb apart (so the copies
+        cannot merge into one molecule, aligner.go:1306) — interior read
+        pairs lie fully inside the unit and tie *exactly* between copies;
+      * one molecule covering copy A plus unique flanks, anchored by
+        anchor pairs in the flanks (unambiguous, > 4 actives, so the true
+        molecule is active, aligner.go:1239-1249);
+      * zero coverage at copy B (skewed coverage) and zero sequencing
+        errors (keeps the tie exact).
+
+    Without molecule evidence the interior pairs are coin-flipped between
+    copies by the md5 jitter (aligner.go:1415-1418) at mapq ~3; with RFA
+    the wrong-copy cluster's reads all have candidates inside the true
+    molecule, so migrating them empties the wrong-copy molecule for a
+    strictly positive Δ (+3 death bonus + 0.5/read prior refund,
+    aligner.go:1201-1228) while the reverse move cannot fire (the anchors
+    have no candidates at copy B).  Returns the fixture geometry for
+    assertions."""
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 4, genome_len).astype(np.uint8)
+    g[pos_b : pos_b + unit_len] = g[pos_a : pos_a + unit_len]
+    genome = "".join("ACGT"[c] for c in g)
+    contigs = [("chrR", "", genome)]
+    with open(out_fasta, "w") as fh:
+        fh.write(">chrR\n")
+        for i in range(0, genome_len, 70):
+            fh.write(genome[i : i + 70] + "\n")
+
+    serial = 0
+
+    def emit(f1, f2, bc: str, pos: int, flen: int) -> None:
+        nonlocal serial
+        fragment = genome[pos : pos + flen]
+        r1 = fragment[:read_len]
+        r2 = revcomp_str(fragment[-read_len:])
+        qname = f"chrR_{pos + 1}_{pos + flen}_{serial}"
+        serial += 1
+        hdr = f"BX:Z:{bc}\tVX:i:1"
+        f1.write(f"@{qname}/1\t{hdr}\n{r1}\n+\n{'I' * read_len}\n")
+        f2.write(f"@{qname}/2\t{hdr}\n{r2}\n+\n{'I' * read_len}\n")
+
+    interior_lo = pos_a + 60
+    interior_hi = pos_a + unit_len - frag - 60
+    with gzip.open(out_r1, "wt") as f1, gzip.open(out_r2, "wt") as f2:
+        bc = _barcode(0)
+        half = n_anchor_pairs // 2
+        # left-flank anchors (fully in unique sequence)
+        for i in range(half):
+            start = pos_a - 3800 + i * (3300 - frag) // max(1, half - 1)
+            emit(f1, f2, bc, start, frag)
+        # right-flank anchors
+        for i in range(n_anchor_pairs - half):
+            start = pos_a + unit_len + 50 + i * (3200 - frag) // max(1, half - 1)
+            emit(f1, f2, bc, start, frag)
+        # interior pairs: fragments fully inside the repeat unit
+        for i in range(n_interior_pairs):
+            start = interior_lo + i * (interior_hi - interior_lo) // max(
+                1, n_interior_pairs - 1
+            )
+            emit(f1, f2, bc, start, frag)
+        # background barcodes in unique territory
+        for b in range(n_background_barcodes):
+            bcb = _barcode(b + 1)
+            base = 170_000 + b * 60_000
+            for i in range(8):
+                emit(f1, f2, bcb, base + i * 900, frag)
+    return {
+        "contig": "chrR",
+        "pos_a": pos_a,
+        "pos_b": pos_b,
+        "unit_len": unit_len,
+        "n_interior_pairs": n_interior_pairs,
+        "n_pairs": serial,
+    }
+
+
 def _barcode(i: int) -> str:
     a, rest = divmod(i, 96 * 96 * 96)
     c, rest = divmod(rest, 96 * 96)
