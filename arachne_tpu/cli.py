@@ -504,6 +504,15 @@ def main(argv=None) -> None:
     sim.add_argument("--pairs", type=int, default=12)
     sim.add_argument("--molecule-len", type=int, default=40000)
     sim.add_argument("--error-rate", type=float, default=0.002)
+    sim.add_argument(
+        "--indel-rate", type=float, default=0.0,
+        help="per-read probability of one sequencing indel (read length "
+        "stays constant; the alignment gains a real I/D op)",
+    )
+    sim.add_argument(
+        "--vary-quals", action="store_true",
+        help="per-base phred 20-40 quality strings instead of flat 'I'",
+    )
     sim.add_argument("--seed", type=int, default=0)
 
     ev = sub.add_parser("evaluate", help="score a SAM against truth-encoded read names")
@@ -566,6 +575,8 @@ def main(argv=None) -> None:
                 pairs_per_molecule=args.pairs,
                 molecule_len=args.molecule_len,
                 error_rate=args.error_rate,
+                indel_rate=args.indel_rate,
+                vary_quals=args.vary_quals,
                 seed=args.seed,
             ),
         )

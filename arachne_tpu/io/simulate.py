@@ -29,6 +29,11 @@ class SimConfig:
     fragment_mean: int = 350
     fragment_std: int = 50
     error_rate: float = 0.002
+    # per-read probability of one sequencing indel (a skipped or inserted
+    # base mid-read); read length stays read_len because the template
+    # carries one spare base.  Default 0 keeps legacy fixtures byte-stable.
+    indel_rate: float = 0.0
+    vary_quals: bool = False      # per-base phred 20-40 instead of flat 'I'
     seed: int = 0
     # hard-path knobs: skewed barcode sizes + invalid barcodes exercise
     # the paths RFA exists for (max_occ subsampling, chain filtering,
@@ -188,6 +193,37 @@ def revcomp_str(s: str) -> str:
     return s.translate(str.maketrans("ACGTN", "TGCAN"))[::-1]
 
 
+def _apply_read_errors(template: str, cfg: "SimConfig", rng) -> List[str]:
+    """Substitution + optional single-indel sequencing errors.
+
+    ``template`` is read_len+1 bases of the true fragment (one spare base)
+    so a deletion error pulls the next true base in and an insertion
+    truncates — the emitted read is always exactly read_len long, but its
+    alignment to the reference genuinely contains an I or D op."""
+    L = cfg.read_len
+    r = list(template[:L])
+    n_err = rng.poisson(cfg.error_rate * L)
+    for _ in range(n_err):
+        j = int(rng.integers(0, L))
+        r[j] = "ACGT"[int(rng.integers(0, 4))]
+    if cfg.indel_rate and rng.random() < cfg.indel_rate:
+        j = int(rng.integers(8, L - 8))
+        if rng.random() < 0.5 and len(template) > L:
+            # deletion: sequencer skipped base j; read covers one extra ref base
+            r = r[:j] + list(template[j + 1 : L + 1])
+        else:
+            # insertion: spurious base at j; read covers one fewer ref base
+            r = r[:j] + ["ACGT"[int(rng.integers(0, 4))]] + r[j : L - 1]
+    return r
+
+
+def _qual_string(cfg: "SimConfig", rng) -> str:
+    if not cfg.vary_quals:
+        return "I" * cfg.read_len
+    phreds = rng.integers(20, 41, cfg.read_len)
+    return "".join(chr(33 + int(q)) for q in phreds)
+
+
 def simulate_linked_reads(
     contigs: List[Tuple[str, str, str]],
     out_r1: str,
@@ -235,18 +271,19 @@ def simulate_linked_reads(
                     fragment = seq[pos : pos + frag]
                     if len(fragment) < 2 * cfg.read_len:
                         continue
-                    r1 = list(fragment[: cfg.read_len])
-                    r2 = list(revcomp_str(fragment[-cfg.read_len :]))
-                    for r in (r1, r2):
-                        n_err = rng.poisson(cfg.error_rate * cfg.read_len)
-                        for _ in range(n_err):
-                            j = int(rng.integers(0, cfg.read_len))
-                            r[j] = "ACGT"[int(rng.integers(0, 4))]
+                    # templates carry one spare base so an indel error can
+                    # keep the emitted read at read_len
+                    t1 = fragment[: cfg.read_len + 1]
+                    t2 = revcomp_str(fragment[-(cfg.read_len + 1):])
+                    r1 = _apply_read_errors(t1, cfg, rng)
+                    r2 = _apply_read_errors(t2, cfg, rng)
                     qname = f"{name}_{pos + 1}_{pos + frag}_{serial}"
                     serial += 1
                     hdr = f"BX:Z:{bc}\tVX:i:{valid}"
-                    f1.write(f"@{qname}/1\t{hdr}\n{''.join(r1)}\n+\n{'I' * cfg.read_len}\n")
-                    f2.write(f"@{qname}/2\t{hdr}\n{''.join(r2)}\n+\n{'I' * cfg.read_len}\n")
+                    q1 = _qual_string(cfg, rng)
+                    q2 = _qual_string(cfg, rng)
+                    f1.write(f"@{qname}/1\t{hdr}\n{''.join(r1)}\n+\n{q1}\n")
+                    f2.write(f"@{qname}/2\t{hdr}\n{''.join(r2)}\n+\n{q2}\n")
                     total += 1
                     emitted += 1
     return total

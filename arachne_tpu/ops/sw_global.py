@@ -22,6 +22,12 @@ import numpy as np
 from ..align.ksw import MINUS_INF, _push_cigar
 from ..config import MemOptions
 
+# Number of problems that went through the full direction-tensor fetch +
+# backtrack walk (i.e. were NOT dispatched by the provable all-M shortcut in
+# run()).  Lets e2e tests assert the gapped traceback path genuinely fires
+# on indel-bearing inputs instead of being dead code behind the shortcut.
+TRACEBACK_FETCHES = 0
+
 
 @functools.partial(
     jax.jit,
@@ -189,7 +195,16 @@ class BatchGlobal:
             # dominant transfer and used to ship the full 256-lane pad
             # even for a handful of gapped problems.
             if self.use_pallas:
-                Bp = pad_batch(nb, 32) if want_z else chunk
+                if want_z:
+                    # Mosaic needs the lane-dim block to be 128-divisible
+                    # or equal to the whole array: bucket small batches to
+                    # exact 32-lane shapes (block == array) and larger ones
+                    # to 128-lane multiples tiled at 128
+                    Bp = pad_batch(nb, 32)
+                    if Bp > 128:
+                        Bp = pad_batch(nb, 128)
+                else:
+                    Bp = chunk
             else:
                 Bp = chunk if B > chunk else pad_batch(nb, 32)
             qs = np.full((Bp, qmax), 4, np.int8)
@@ -215,7 +230,8 @@ class BatchGlobal:
                     qmax=qmax, tmax=tmax, a=self.opt.a, b=self.opt.b,
                     o_del=self.opt.o_del, e_del=self.opt.e_del,
                     o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
-                    want_z=want_z, b_tile=min(32 if want_z else 256, Bp),
+                    want_z=want_z,
+                    b_tile=min(128 if want_z else 256, Bp),
                     pack_z=want_z,
                 )  # z ships nibble-packed (2 columns/byte); unpacked below
             else:
@@ -276,6 +292,8 @@ class BatchGlobal:
             else:
                 need_tb.append(i)
         if need_tb:
+            global TRACEBACK_FETCHES
+            TRACEBACK_FETCHES += len(need_tb)
             sub = [problems[i] for i in need_tb]
             score2, z = self._kernel(sub, want_z=True)
             z = np.asarray(z)
