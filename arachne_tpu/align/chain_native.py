@@ -33,7 +33,7 @@ from .chain import Chain, Seed
 
 _i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 _i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
-_f32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+_f64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
 
 def _flatten_mems(all_mems) -> Tuple[np.ndarray, ...]:
@@ -116,7 +116,9 @@ def mem_chain_batch_native(
     out_rid = np.empty(cap, np.int32)
     out_w = np.empty(cap, np.int32)
     out_kept = np.empty(cap, np.int32)
-    out_frac = np.empty(cap, np.float32)
+    # float64: mapq = int(mapq*(1-frac_rep)+.499) (cigar.py) can
+    # differ by 1 on knife-edge values if this round-trips via f32
+    out_frac = np.empty(cap, np.float64)
     out_nseeds = np.empty(cap, np.int32)
     out_rmax0 = np.empty(cap, np.int64)
     out_rmax1 = np.empty(cap, np.int64)
@@ -137,7 +139,7 @@ def mem_chain_batch_native(
         ctypes.c_int32(opt.o_ins), ctypes.c_int32(opt.e_ins),
         _i32p(out_nchains),
         _i64p(out_pos), _i32p(out_rid), _i32p(out_w), _i32p(out_kept),
-        _f32p(out_frac), _i32p(out_nseeds),
+        _f64p(out_frac), _i32p(out_nseeds),
         _i64p(out_rmax0), _i64p(out_rmax1), _i32p(out_seed_idx),
         ctypes.c_int32(n_threads),
     )

@@ -174,6 +174,12 @@ def run_align(args) -> None:
         # fleet-wide generation agreement before any manifest write (see
         # CheckpointedStream.agree_generation)
         stream.agree_generation(allreduce_max_int(stream.generation, ctx))
+        # ...and on the merged claim union itself: a host whose manifest
+        # glob missed a sibling (NFS lag / non-shared path) would re-run
+        # that sibling's completed sets as duplicates (claims_digest doc)
+        from .parallel.distributed import assert_uniform_int
+
+        assert_uniform_int(stream.claims_digest(), ctx, "checkpoint claim digest")
     # exactly-once resume: truncate the previous generation's shards back
     # to the last manifest's flushed offsets (records written after that
     # save are discarded and their barcode sets re-run)
@@ -398,9 +404,20 @@ def run_status(ckpt_base: str, stale_after: float = 300.0) -> int:
         claims = ", ".join(
             f"g{c.g} h{c.h}/{c.P}: {c.n} sets" for c in ck.claims
         )
+        # threshold scales with the host's OBSERVED save cadence (recorded
+        # in the manifest): a host saving every 4s is dead after 60s of
+        # silence; one saving every 10min is not.  --stale-after overrides;
+        # hosts that never reached a second save fall back to the floor.
+        if stale_after is not None:
+            threshold = stale_after
+        elif ck.save_interval > 0:
+            threshold = max(60.0, 5.0 * ck.save_interval)
+        else:
+            threshold = 300.0
         flag = ""
-        if own is not None and age > stale_after:
-            flag = f"  ** STALE ({age:.0f}s since last save — host likely dead; re-run to recover its residue)"
+        if own is not None and age > threshold:
+            flag = (f"  ** STALE ({age:.0f}s since last save, threshold "
+                    f"{threshold:.0f}s — host likely dead; re-run to recover its residue)")
             stale = True
         print(f"{p}: last save {age:.0f}s ago; {claims}{flag}")
     return 1 if stale else 0
@@ -527,8 +544,9 @@ def main(argv=None) -> None:
     )
     stt.add_argument("checkpoint", help="manifest base path (as passed to --checkpoint)")
     stt.add_argument(
-        "--stale-after", type=float, default=300.0,
-        help="seconds since last save before a host is flagged stale",
+        "--stale-after", type=float, default=None,
+        help="seconds since last save before a host is flagged stale "
+        "(default: 5x the host's recorded save cadence, floor 60s)",
     )
 
     args = parser.parse_args(argv)

@@ -25,7 +25,7 @@ _SOURCES = ["sais.cpp", "smem.cpp", "chain.cpp", "ropebwt.cpp"]
 # A cached .so that predates a signature change reports an older value (or
 # lacks the symbol entirely) and is rejected rather than loaded with
 # mismatched ctypes argtypes, which would corrupt memory silently.
-_EXPECTED_ABI = 4
+_EXPECTED_ABI = 5
 
 
 def _build() -> Optional[str]:
@@ -132,7 +132,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         try:
             i32p = ctypes.POINTER(ctypes.c_int32)
             i64p = ctypes.POINTER(ctypes.c_int64)
-            f32p = ctypes.POINTER(ctypes.c_float)
+            f64p = ctypes.POINTER(ctypes.c_double)
             lib.chain_batch.argtypes = [
                 i64p, i32p, i32p, i64p,          # mem_s/qb/qe, mem_off
                 i64p, i64p, i32p, i32p, i64p,    # occ rbeg/rid/qbeg/len, occ_off
@@ -144,7 +144,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,   # a, o_del, e_del
                 ctypes.c_int32, ctypes.c_int32,                    # o_ins, e_ins
                 i32p,                            # out_nchains
-                i64p, i32p, i32p, i32p, f32p, i32p,   # chain pos/rid/w/kept/frac/nseeds
+                i64p, i32p, i32p, i32p, f64p, i32p,   # chain pos/rid/w/kept/frac/nseeds
                 i64p, i64p, i32p,                # rmax0, rmax1, seed_idx
                 ctypes.c_int32,                  # n_threads
             ]

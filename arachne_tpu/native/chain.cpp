@@ -93,7 +93,7 @@ static void chain_one_read(
     // outputs (capacity n_occ each, local)
     int32_t* out_nchains,
     int64_t* out_chain_pos, int32_t* out_chain_rid, int32_t* out_chain_w,
-    int32_t* out_chain_kept, float* out_chain_frac, int32_t* out_chain_nseeds,
+    int32_t* out_chain_kept, double* out_chain_frac, int32_t* out_chain_nseeds,
     int64_t* out_rmax0, int64_t* out_rmax1, int32_t* out_seed_idx) {
     *out_nchains = 0;
     if (qlen < opt.min_seed_len || n_occ == 0) return;
@@ -107,7 +107,7 @@ static void chain_one_read(
         else if (se > e) e = se;
     }
     l_rep += e - b;
-    float frac = (float)((double)l_rep / (double)qlen);
+    double frac = (double)l_rep / (double)qlen;
 
     std::vector<ChainRec> chains;
     std::vector<int64_t> positions;   // sorted; parallel to `order`
@@ -294,7 +294,7 @@ extern "C" int chain_batch(
     int32_t a, int32_t o_del, int32_t e_del, int32_t o_ins, int32_t e_ins,
     int32_t* out_nchains,
     int64_t* out_chain_pos, int32_t* out_chain_rid, int32_t* out_chain_w,
-    int32_t* out_chain_kept, float* out_chain_frac, int32_t* out_chain_nseeds,
+    int32_t* out_chain_kept, double* out_chain_frac, int32_t* out_chain_nseeds,
     int64_t* out_rmax0, int64_t* out_rmax1, int32_t* out_seed_idx,
     int32_t n_threads) {
     Opts opt;

@@ -57,7 +57,20 @@ class DeviceFMIndex:
         if wide:
             import jax as _jax
 
-            _jax.config.update("jax_enable_x64", True)
+            if not _jax.config.jax_enable_x64:
+                # int64 device arrays cannot exist without this flag, so
+                # wide tables force it process-wide.  Every compute kernel
+                # in ops/ pins explicit dtypes (int32/uint32/int8), so
+                # narrow-path outputs are unaffected — asserted by
+                # tests/test_fm_seed.py::test_narrow_kernels_unchanged_under_x64.
+                # Log loudly because weakly-typed jnp ops elsewhere WOULD
+                # change default dtype under this flag.
+                print(
+                    "[arachne] wide FM-index (seq_len >= 2^31): enabling "
+                    "jax_enable_x64 process-wide",
+                    flush=True,
+                )
+                _jax.config.update("jax_enable_x64", True)
         it = np.int64 if wide else np.int32
         return DeviceFMIndex(
             occ=jnp.asarray(idx.fm.occ.astype(it)),
@@ -117,9 +130,12 @@ def occ4_device(fm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
         sel_hi = y if (c & 2) else ny
         sel_lo = y if (c & 1) else ny
         t = (sel_hi >> jnp.uint32(1)) & sel_lo & jnp.uint32(_LANE)
-        cnt = jax.lax.population_count(t).astype(idt).sum(axis=-1)
+        # explicit accumulator dtype: jnp.sum promotes int32 -> int64 when
+        # jax_enable_x64 is on (wide-index processes), which would silently
+        # widen the narrow path's compiled kernels
+        cnt = jax.lax.population_count(t).astype(idt).sum(axis=-1, dtype=idt)
         if c == 0:
-            cnt = cnt - (16 - nvalid).sum(axis=-1)
+            cnt = cnt - (16 - nvalid).sum(axis=-1, dtype=idt)
         cnts.append(cnt)
     res = base + jnp.stack(cnts, axis=-1)
     if fm.axis is not None:

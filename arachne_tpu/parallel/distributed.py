@@ -153,6 +153,40 @@ def allreduce_max_int(value: int, ctx: DistContext) -> int:
     return out
 
 
+def assert_uniform_int(value: int, ctx: DistContext, what: str) -> None:
+    """Fail loudly unless every host reports the same value.
+
+    Used for checkpoint claim-digest agreement: each resuming host globs
+    sibling manifests independently, so shared-filesystem visibility lag
+    (NFS attribute caching) or a host that saved to a non-shared path can
+    leave one host missing a peer's claims — it would silently re-run that
+    peer's completed sets and the merged output would carry duplicates.
+    Nothing has been written at agreement time, so aborting is safe."""
+    if not ctx.initialized or ctx.process_count == 1:
+        return
+    from jax.experimental.multihost_utils import process_allgather
+
+    timeout = float(os.environ.get("ARACHNE_COLLECTIVE_TIMEOUT", 120))
+    out = _with_timeout(
+        lambda: np.asarray(process_allgather(jnp.asarray(np.int64(value)))),
+        timeout,
+        f"{what} agreement",
+    )
+    if out is None:
+        raise RuntimeError(
+            f"{what} agreement collective failed — a peer process died "
+            "during startup; relaunch the fleet"
+        )
+    if not (out == out[0]).all():
+        raise RuntimeError(
+            f"hosts disagree on {what} ({out.tolist()}): a resuming host "
+            "cannot see every sibling manifest (shared-filesystem lag or a "
+            "manifest saved to a non-shared path). Re-check the checkpoint "
+            "path is on a shared filesystem and relaunch; resuming now "
+            "would re-run another host's completed sets as duplicates."
+        )
+
+
 def shard_suffix(ctx: DistContext) -> str:
     """Per-host output shard suffix (empty for single-host runs)."""
     if ctx.process_count == 1:

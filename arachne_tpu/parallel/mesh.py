@@ -109,7 +109,12 @@ class ShardedFMTables:
 
         if wide is None:
             wide = idx.seq_len >= (1 << 31)
-        if wide:
+        if wide and not jax.config.jax_enable_x64:
+            print(
+                "[arachne] wide sharded FM tables: enabling jax_enable_x64 "
+                "process-wide (see ops/fm_rank.py)",
+                flush=True,
+            )
             jax.config.update("jax_enable_x64", True)
         it = np.int64 if wide else np.int32
         n = int(mesh.shape[index_axis])

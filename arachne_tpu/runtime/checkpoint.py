@@ -49,6 +49,10 @@ class Checkpoint:
     r1: str = ""
     r2: str = ""
     claims: List[Claim] = field(default_factory=list)
+    # observed seconds between the last two manifest saves (0 before the
+    # second save); `status` scales its staleness threshold from this
+    # instead of guessing a flat timeout
+    save_interval: float = 0.0
     # durable byte offset per output shard file at the last flush; resume
     # truncates the shards back to these so records written after the
     # manifest save are discarded (exactly-once across crashes)
@@ -66,6 +70,7 @@ class Checkpoint:
                         {"g": c.g, "h": c.h, "P": c.P, "n": c.n} for c in self.claims
                     ],
                     "offsets": self.offsets,
+                    "save_interval": self.save_interval,
                 },
                 fh,
             )
@@ -91,6 +96,7 @@ class Checkpoint:
             r2=d.get("r2", ""),
             claims=[Claim(c["g"], c["h"], c["P"], c["n"]) for c in d.get("claims", [])],
             offsets=d.get("offsets", {}),
+            save_interval=float(d.get("save_interval", 0.0)),
         )
 
 
@@ -172,6 +178,22 @@ class CheckpointedStream:
         self.generation = gen
         self.own.g = gen
 
+    def claims_digest(self) -> int:
+        """Stable 63-bit digest of the merged prior-claim union.
+
+        Allgathered alongside generation agreement (cli.py): if any
+        resuming host's manifest glob missed a sibling's claims (NFS
+        visibility lag, non-shared path), its digest differs and the fleet
+        aborts BEFORE re-running — and duplicating — that host's completed
+        sets.  The generation allreduce alone only agrees on the
+        generation number, not the claim set."""
+        import hashlib
+
+        h = hashlib.md5()
+        for c in self.prior_claims:
+            h.update(f"{c.g}:{c.h}:{c.P}:{c.n};".encode())
+        return int.from_bytes(h.digest()[:8], "big") >> 1
+
     @property
     def resume_offsets(self) -> dict:
         """Shard-file byte offsets from every prior manifest (empty on a
@@ -208,6 +230,12 @@ class CheckpointedStream:
                 yield records, unique
 
     def _save(self) -> None:
+        import time as _time
+
+        now = _time.time()
+        if getattr(self, "_last_save_t", None) is not None:
+            self.ckpt.save_interval = now - self._last_save_t
+        self._last_save_t = now
         if self.flush_fn is not None:
             offs = self.flush_fn()
             if offs:

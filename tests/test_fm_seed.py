@@ -176,6 +176,31 @@ class TestWideRankPath:
         finally:
             jax.config.update("jax_enable_x64", False)
 
+    def test_narrow_kernels_unchanged_under_x64(self, ref, rng):
+        """Wide tables flip jax_enable_x64 process-wide (fm_rank.py).  The
+        narrow-path kernels pin explicit dtypes, so their outputs must be
+        bit-identical (and stay int32) with the flag on — guards against a
+        weakly-typed op sneaking into a compute path."""
+        import jax
+        import jax.numpy as jnp
+
+        idx, _ = ref
+        ks = np.concatenate(
+            [rng.integers(-1, idx.seq_len + 1, 200),
+             [-1, 0, idx.seq_len, idx.primary]]
+        ).astype(np.int64)
+        dfm32 = DeviceFMIndex.from_host(idx, wide=False)
+        before = np.asarray(occ4_device(dfm32, jnp.asarray(ks, jnp.int32)))
+        try:
+            jax.config.update("jax_enable_x64", True)
+            dfm32b = DeviceFMIndex.from_host(idx, wide=False)
+            assert dfm32b.idt == jnp.int32
+            after = occ4_device(dfm32b, jnp.asarray(ks).astype(jnp.int32))
+            assert after.dtype == before.dtype
+            assert np.array_equal(np.asarray(after), before)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
     def test_seeding_wide_parity(self, ref, rng):
         import jax
 
