@@ -280,7 +280,11 @@ class BatchExtender:
         self.h0s = [self.h0s[i] for i in order]
         results = []
         pending = []
-        for c0 in range(0, B, self.CHUNK):
+        from .devicepool import dispatch_devices, put
+
+        devs = dispatch_devices()
+        for ci, c0 in enumerate(range(0, B, self.CHUNK)):
+            dev = devs[ci % len(devs)]
             c1 = min(c0 + self.CHUNK, B)
             nb = c1 - c0
             # pallas/TPU: always pad to CHUNK — every distinct batch shape
@@ -317,7 +321,7 @@ class BatchExtender:
                 # Mosaic cannot legalize i16 vector min/max/compares, so
                 # the production dispatch stays int32 on TPU.
                 out = extend_batch_pallas_bundled(
-                    jnp.asarray(u8), jnp.asarray(meta),
+                    put(u8, dev), put(meta, dev),
                     qmax=qmax, tmax=tmax, a=self.opt.a, b=self.opt.b,
                     o_del=self.opt.o_del, e_del=self.opt.e_del,
                     o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
@@ -325,9 +329,9 @@ class BatchExtender:
                 )
             else:
                 out = extend_batch_kernel(
-                    jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
-                    jnp.asarray(ws), jnp.asarray(h0s),
-                    self.mat, qmax, tmax,
+                    put(qs, dev), put(ts, dev), put(qlens, dev), put(tlens, dev),
+                    put(ws, dev), put(h0s, dev),
+                    put(self.mat, dev) if dev is not None else self.mat, qmax, tmax,
                     self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
                     self.opt.zdrop,
                 )

@@ -186,7 +186,11 @@ class BatchGlobal:
         scores = []
         zs = []
         pending = []
-        for c0 in range(0, B, chunk):
+        from .devicepool import dispatch_devices, put
+
+        devs = dispatch_devices()
+        for ci, c0 in enumerate(range(0, B, chunk)):
+            dev = devs[ci % len(devs)]
             c1 = min(c0 + chunk, B)
             nb = c1 - c0
             # pallas/TPU: fixed batch shape (see sw_extend.run).  Traceback
@@ -226,7 +230,7 @@ class BatchGlobal:
                 u8 = bundle_seqs(qs, ts)
                 meta = np.stack([qlens, tlens, ws]).astype(np.int32)
                 score, z = global_batch_pallas_bundled(
-                    jnp.asarray(u8), jnp.asarray(meta),
+                    put(u8, dev), put(meta, dev),
                     qmax=qmax, tmax=tmax, a=self.opt.a, b=self.opt.b,
                     o_del=self.opt.o_del, e_del=self.opt.e_del,
                     o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
@@ -236,8 +240,9 @@ class BatchGlobal:
                 )  # z ships nibble-packed (2 columns/byte); unpacked below
             else:
                 score, z = global_batch_kernel(
-                    jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
-                    jnp.asarray(ws), self.mat, qmax, tmax,
+                    put(qs, dev), put(ts, dev), put(qlens, dev), put(tlens, dev),
+                    put(ws, dev),
+                    put(self.mat, dev) if dev is not None else self.mat, qmax, tmax,
                     self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
                     want_z=want_z,
                 )

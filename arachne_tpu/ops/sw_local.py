@@ -319,7 +319,11 @@ class BatchLocalSW:
         minscs = [minscs[i] for i in order]
         chunk_outs = []
         pending = []
-        for c0 in range(0, B, self.CHUNK):
+        from .devicepool import dispatch_devices, put
+
+        devs = dispatch_devices()
+        for ci, c0 in enumerate(range(0, B, self.CHUNK)):
+            dev = devs[ci % len(devs)]
             c1 = min(c0 + self.CHUNK, B)
             nb = c1 - c0
             # pallas/TPU: fixed batch shape (see sw_extend.run)
@@ -347,7 +351,7 @@ class BatchLocalSW:
                 u8 = bundle_seqs(qs, ts)
                 meta = np.stack([qlens, tlens, ends, mins]).astype(np.int32)
                 out = local_sw_full_pallas_bundled(
-                    jnp.asarray(u8), jnp.asarray(meta),
+                    put(u8, dev), put(meta, dev),
                     qmax=qmax, tmax=tmax, a=self.opt.a, b=self.opt.b,
                     o_del=self.opt.o_del, e_del=self.opt.e_del,
                     o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
@@ -355,8 +359,9 @@ class BatchLocalSW:
                 )
             else:
                 out = local_sw_full_kernel(
-                    jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens), jnp.asarray(tlens),
-                    jnp.asarray(ends), jnp.asarray(mins), self.mat, qmax, tmax,
+                    put(qs, dev), put(ts, dev), put(qlens, dev), put(tlens, dev),
+                    put(ends, dev), put(mins, dev),
+                    put(self.mat, dev) if dev is not None else self.mat, qmax, tmax,
                     self.opt.o_del, self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
                     self.max_mat,
                 )
