@@ -145,6 +145,76 @@ def traceback(
     return cigar
 
 
+@functools.partial(jax.jit, static_argnames=("qmax", "tmax", "max_steps"))
+def traceback_device(
+    z: jnp.ndarray,      # (tmax, qmax, B) uint8 direction bytes (on device)
+    qlens: jnp.ndarray,  # (B,)
+    tlens: jnp.ndarray,  # (B,)
+    ws: jnp.ndarray,     # (B,)
+    *,
+    qmax: int,
+    tmax: int,
+    max_steps: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The backtrack walk (ksw.c:588-602) on device, all lanes in parallel.
+
+    Through the axon tunnel the (tmax, qmax, B) direction tensor is the
+    dominant transfer of the CIGAR stage (~8 MB per 256-lane chunk even
+    nibble-packed); walking it on device ships only a per-step op stream
+    (max_steps x B int8 ≈ 130 KB) plus the final (i, k) for the host's
+    trailing D/I push.  Per-step ops mirror the host `traceback` exactly:
+    0=M (i-1, k-1), 2=D (i-1), 1=I (k-1); 3 marks steps after the lane
+    finished.  Host reverses, appends the tail runs, and run-length
+    encodes (decode_traceback_ops)."""
+    B = z.shape[2]
+    zf = z.reshape(tmax * qmax, B)
+    i0 = tlens - 1
+    k0 = jnp.minimum(i0 + ws + 1, qlens) - 1
+
+    def body(s, st):
+        i, k, which, ops = st
+        active = (i >= 0) & (k >= 0)
+        idx = jnp.clip(i, 0, tmax - 1) * qmax + jnp.clip(k, 0, qmax - 1)
+        zv = jnp.take_along_axis(zf, idx[None, :], axis=0)[0].astype(jnp.int32)
+        nw = (zv >> (which << 1)) & 3
+        # host semantics: nw==0 -> M (i-1,k-1); ==1 -> D (i-1); >=2 -> I (k-1)
+        op = jnp.where(nw == 0, 0, jnp.where(nw == 1, 2, 1)).astype(jnp.int8)
+        op = jnp.where(active, op, jnp.int8(3))
+        ops = jax.lax.dynamic_update_slice(ops, op[None, :], (s, 0))
+        i = jnp.where(active & (nw <= 1), i - 1, i)
+        k = jnp.where(active & (nw != 1), k - 1, k)
+        # the RAW 2-bit value (including 3) is the next read's shift state,
+        # exactly as the host walk keeps it
+        which = jnp.where(active, nw, which)
+        return i, k, which, ops
+
+    ops0 = jnp.full((max_steps, B), 3, jnp.int8)
+    i, k, _which, ops = jax.lax.fori_loop(
+        0, max_steps, body, (i0.astype(jnp.int32), k0.astype(jnp.int32),
+                             jnp.zeros(B, jnp.int32), ops0)
+    )
+    return ops, i, k
+
+
+def decode_traceback_ops(
+    ops_col: np.ndarray, fi: int, fk: int
+) -> List[Tuple[int, int]]:
+    """Host-side finish of traceback_device for one lane: reverse the op
+    stream, append the trailing D/I runs, run-length encode (the inverse
+    order + merge of the host `traceback`)."""
+    seq = ops_col[ops_col != 3]
+    cigar: List[Tuple[int, int]] = []
+    tail: List[Tuple[int, int]] = []
+    if fi >= 0:
+        tail.append((2, fi + 1))
+    if fk >= 0:
+        tail.append((1, fk + 1))
+    full = list(seq) + [op for op, n in tail for _ in range(n)]
+    for op in reversed(full):
+        _push_cigar(cigar, int(op), 1)
+    return cigar
+
+
 class BatchGlobal:
     """Batched bwa-style global alignment returning (score, cigar)."""
 
@@ -269,6 +339,101 @@ class BatchGlobal:
         z_all = np.concatenate(zs, axis=2)[:, :, inv] if zs else None
         return score_all, z_all
 
+    def _device_tb_enabled(self) -> bool:
+        """Walk the direction tensor ON DEVICE and ship per-step ops
+        instead of the z tensor (traceback_device).  Default on for the
+        TPU path — the z fetch is the CIGAR stage's dominant transfer
+        (~8 MB/chunk nibble-packed vs ~130 KB of ops) — off on CPU where
+        transfers are free; ARACHNE_DEVICE_TB=0/1 overrides."""
+        import os
+
+        flag = os.environ.get("ARACHNE_DEVICE_TB", "")
+        if flag in ("0", "1"):
+            return flag == "1"
+        return self.use_pallas
+
+    def _traceback_on_device(self, problems):
+        """(score, cigar) for gapped problems with the backtrack walk on
+        device; mirrors _kernel's tlen-sorted chunking."""
+        from .devicepool import dispatch_devices, put
+        from .sw_extend import pad_batch
+
+        B = len(problems)
+        order = sorted(range(B), key=lambda i: len(problems[i][1]))
+        problems = [problems[i] for i in order]
+        qmax = max(self.qmax, -(-max(len(q) for q, _, _ in problems) // 64) * 64)
+        tmax = max(self.tmax, -(-max(len(t) for _, t, _ in problems) // 64) * 64)
+        chunk = self.CHUNK_Z
+        pending = []
+        devs = dispatch_devices()
+        for ci, c0 in enumerate(range(0, B, chunk)):
+            dev = devs[ci % len(devs)]
+            c1 = min(c0 + chunk, B)
+            nb = c1 - c0
+            if self.use_pallas:
+                Bp = pad_batch(nb, 32)
+                if Bp > 128:
+                    Bp = pad_batch(nb, 128)
+            else:
+                Bp = pad_batch(nb, 32)
+            qs = np.full((Bp, qmax), 4, np.int8)
+            ts = np.full((Bp, tmax), 4, np.int8)
+            qlens = np.ones(Bp, np.int32)
+            tlens = np.ones(Bp, np.int32)
+            ws = np.ones(Bp, np.int32)
+            for i in range(nb):
+                q, t, w = problems[c0 + i]
+                qs[i, : len(q)] = q
+                ts[i, : len(t)] = t
+                qlens[i] = len(q)
+                tlens[i] = len(t)
+                ws[i] = w
+            ql_d, tl_d, ws_d = put(qlens, dev), put(tlens, dev), put(ws, dev)
+            if self.use_pallas:
+                from .packing import bundle_seqs
+                from .pallas_global import global_batch_pallas_bundled
+
+                u8 = bundle_seqs(qs, ts)
+                meta = np.stack([qlens, tlens, ws]).astype(np.int32)
+                score, z = global_batch_pallas_bundled(
+                    put(u8, dev), put(meta, dev),
+                    qmax=qmax, tmax=tmax, a=self.opt.a, b=self.opt.b,
+                    o_del=self.opt.o_del, e_del=self.opt.e_del,
+                    o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
+                    want_z=True,
+                    b_tile=min(128, Bp),
+                    pack_z=False,    # traceback consumes z on device
+                )
+            else:
+                score, z = global_batch_kernel(
+                    put(qs, dev), put(ts, dev), ql_d, tl_d, ws_d,
+                    put(self.mat, dev) if dev is not None else self.mat,
+                    qmax, tmax,
+                    self.opt.o_del, self.opt.e_del, self.opt.o_ins,
+                    self.opt.e_ins, want_z=True,
+                )
+            ops, fi, fk = traceback_device(
+                z, ql_d, tl_d, ws_d, qmax=qmax, tmax=tmax,
+                max_steps=qmax + tmax,
+            )
+            pending.append((score, ops, fi, fk, nb))
+
+        from ..runtime.timers import TIMERS
+
+        results = []
+        for score, ops, fi, fk, nb in pending:
+            with TIMERS.stage(f"global.devtb.{qmax}x{tmax}"):
+                sc = np.asarray(score)[:nb]
+                ops_h = np.asarray(ops)[:, :nb]
+                fi_h = np.asarray(fi)[:nb]
+                fk_h = np.asarray(fk)[:nb]
+            for i in range(nb):
+                cig = decode_traceback_ops(ops_h[:, i], int(fi_h[i]), int(fk_h[i]))
+                results.append((int(sc[i]), cig))
+        inv = np.empty(B, np.int64)
+        inv[np.asarray(order)] = np.arange(B)
+        return [results[int(j)] for j in inv]
+
     def run(self, want_cigar: bool = True):
         """Two-phase: score-only first; full traceback only for problems
         whose optimum is not provably the all-M alignment.
@@ -300,10 +465,14 @@ class BatchGlobal:
             global TRACEBACK_FETCHES
             TRACEBACK_FETCHES += len(need_tb)
             sub = [problems[i] for i in need_tb]
-            score2, z = self._kernel(sub, want_z=True)
-            z = np.asarray(z)
-            for k, i in enumerate(need_tb):
-                q, t, w = problems[i]
-                cig = traceback(z[:, :, k], len(q), len(t), w)
-                out[i] = (int(score2[k]), cig)
+            if self._device_tb_enabled():
+                for k, res in zip(need_tb, self._traceback_on_device(sub)):
+                    out[k] = res
+            else:
+                score2, z = self._kernel(sub, want_z=True)
+                z = np.asarray(z)
+                for k, i in enumerate(need_tb):
+                    q, t, w = problems[i]
+                    cig = traceback(z[:, :, k], len(q), len(t), w)
+                    out[i] = (int(score2[k]), cig)
         return out
