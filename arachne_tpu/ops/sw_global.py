@@ -363,19 +363,19 @@ class BatchGlobal:
         problems = [problems[i] for i in order]
         qmax = max(self.qmax, -(-max(len(q) for q, _, _ in problems) // 64) * 64)
         tmax = max(self.tmax, -(-max(len(t) for _, t, _ in problems) // 64) * 64)
-        chunk = self.CHUNK_Z
+        # ONE executable shape per (qmax, tmax): fixed 128-lane chunks.
+        # The ops output is tiny (~65 KB), so padding waste is noise, while
+        # every extra batch shape costs a cold remote compile through the
+        # tunnel (minutes) — lane-bucketing here caused multi-minute stalls
+        # on first encounters at genome scale.
+        chunk = 128 if self.use_pallas else self.CHUNK_Z
         pending = []
         devs = dispatch_devices()
         for ci, c0 in enumerate(range(0, B, chunk)):
             dev = devs[ci % len(devs)]
             c1 = min(c0 + chunk, B)
             nb = c1 - c0
-            if self.use_pallas:
-                Bp = pad_batch(nb, 32)
-                if Bp > 128:
-                    Bp = pad_batch(nb, 128)
-            else:
-                Bp = pad_batch(nb, 32)
+            Bp = chunk if self.use_pallas else pad_batch(nb, 32)
             qs = np.full((Bp, qmax), 4, np.int8)
             ts = np.full((Bp, tmax), 4, np.int8)
             qlens = np.ones(Bp, np.int32)
