@@ -19,13 +19,13 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-_SOURCES = ["sais.cpp", "smem.cpp", "chain.cpp", "ropebwt.cpp"]
+_SOURCES = ["sais.cpp", "smem.cpp", "chain.cpp", "ropebwt.cpp", "rfa_tail.cpp"]
 
 # Expected ABI of the compiled library (ARACHNE_NATIVE_ABI in ropebwt.cpp).
 # A cached .so that predates a signature change reports an older value (or
 # lacks the symbol entirely) and is rejected rather than loaded with
 # mismatched ctypes argtypes, which would corrupt memory silently.
-_EXPECTED_ABI = 5
+_EXPECTED_ABI = 6
 
 
 def _build() -> Optional[str]:
@@ -167,6 +167,30 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.sa_sample_walk.restype = ctypes.c_int
         except AttributeError:
             pass  # stale .so without incremental-build support
+        try:
+            i32 = ctypes.c_int32
+            i32p_ = ctypes.POINTER(ctypes.c_int32)
+            i64p2 = ctypes.POINTER(ctypes.c_int64)
+            f64p2 = ctypes.POINTER(ctypes.c_double)
+            u8p2 = ctypes.POINTER(ctypes.c_uint8)
+            u64p2 = ctypes.POINTER(ctypes.c_uint64)
+            lib.rfa_tail.argtypes = (
+                [i32, i32]
+                + [i64p2, i64p2, f64p2, f64p2]            # pos/aend/logp/score
+                + [i32p_] * 5                              # mism/indels/sclip/slen/seqlen
+                + [u8p2, i32p_, i32p_, i32p_]              # rev/contig/aln_id/read_of
+                + [i64p2, i64p2, i64p2, i32p_, u64p2]      # locs/locs_off/aln_off/mate_of/jitter
+                + [ctypes.c_double, ctypes.c_double, i32, i32, i32]
+                + [i64p2, i64p2]                           # centromeres
+                + [u8p2, u8p2, u8p2, i32p_, i32p_, u8p2]   # active/proper/pick/mapq/molid/amol
+                + [f64p2, f64p2, f64p2, i32p_]             # mconf/mdiff/sum/mate
+                + [i32p_, f64p2, u8p2, i32p_, f64p2]       # sb slot/score/proper/reads/conf
+                + [i32p_] * 4                              # copies/in/out/uniq
+                + [f64p2, i32p_, i32p_]                    # md_score/reads_in_mol/n_mol
+            )
+            lib.rfa_tail.restype = ctypes.c_int
+        except AttributeError:
+            pass  # stale .so without the RFA tail
         _lib = lib
     except Exception:
         _lib = None

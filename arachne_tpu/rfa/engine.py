@@ -96,6 +96,26 @@ def _finish_barcode(
     centromeres = centromeres or {}
     improper = cfg.rfa.improper_pair_penalty
     run_rfa = worth_running_rfa(reads, unique_barcode, cfg)
+
+    # native C++ tail (tag -> molecules -> optimize -> mapq) when available:
+    # field-identical to the Python tail below (tests/test_rfa_native_tail.py
+    # + e2e byte-identity); the Python implementation stays authoritative
+    from .native_tail import native_rfa_enabled, run_native_tail
+
+    if native_rfa_enabled():
+        n_mol = run_native_tail(alignments, run_rfa, cfg, centromeres)
+        if n_mol is not None:
+            mark_duplicates(alignments)
+            check_split_reads(stashed, centromeres, improper)
+            return BarcodeResult(
+                alignments=alignments,
+                reads=reads,
+                attach_bx=unique_barcode if not run_rfa else True,
+                barcode=barcode,
+                ran_rfa=run_rfa,
+                n_molecules=n_mol,
+            )
+
     positions = tag_best_alignments(alignments, improper)
 
     if not run_rfa:

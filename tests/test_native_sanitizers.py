@@ -32,7 +32,9 @@ class TestNativeSanitized:
         Any heap overflow / UB / data race on the output arrays aborts the
         subprocess."""
         so = str(tmp_path / "_arachne_native_asan.so")
-        srcs = [os.path.join(NATIVE, s) for s in ("sais.cpp", "smem.cpp")]
+        srcs = [os.path.join(NATIVE, s) for s in
+                ("sais.cpp", "smem.cpp", "chain.cpp", "ropebwt.cpp",
+                 "rfa_tail.cpp")]
         subprocess.run(
             ["g++", "-O1", "-g", "-fsanitize=address,undefined",
              "-fno-sanitize-recover=all", "-shared", "-fPIC", "-pthread",
@@ -76,6 +78,11 @@ got = collect_seeds_native(idx, reads, opt, n_threads=4)
 key = lambda lst: [(m.k, m.l, m.s, m.qb, m.qe) for m in lst]
 for i in (0, 57, 123, 299):
     assert key(got[i]) == key(collect_seeds(idx, reads[i], opt)), i
+# sanitized incremental-BWT build: B+-tree inserts, splits, emission
+from arachne_tpu.index.build import build_fmindex_incremental
+fm_inc = build_fmindex_incremental(packed)
+assert np.array_equal(fm_inc.bwt_words, fm.bwt_words)
+assert fm_inc.primary == fm.primary
 print("SANITIZED_OK")
 """
         )
