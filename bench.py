@@ -167,6 +167,77 @@ def _repeat_fixture(cache: str):
     return ref, r1, r2
 
 
+def bench_indel_e2e():
+    """Gapped-path run: the bench fixture simulated WITH sequencing indels
+    (10% of reads), so the traceback z-path (device-side walk,
+    ops/sw_global.traceback_device) runs on real hardware every round —
+    round 4 found it both broken (Mosaic block spec) and transfer-bound
+    (~8 MB/chunk) precisely because no bench drove it."""
+    import argparse
+    import gzip
+    import os
+    import shutil
+    import tempfile
+
+    from arachne_tpu.cli import run_align
+    from arachne_tpu.runtime.accuracy import evaluate_sam
+
+    cache = os.path.expanduser("~/.cache/arachne_bench")
+    os.makedirs(cache, exist_ok=True)
+    ref = os.path.join(cache, "bench_ref.fa")   # shares the e2e genome
+    r1 = os.path.join(cache, "bench_indel.R1.fq.gz")
+    r2 = os.path.join(cache, "bench_indel.R2.fq.gz")
+    if not os.path.exists(ref):
+        _bench_fixture(cache)
+    if not os.path.exists(r1):
+        from arachne_tpu.index import parse_fasta
+        from arachne_tpu.io.simulate import SimConfig, simulate_linked_reads
+
+        simulate_linked_reads(
+            parse_fasta(ref), r1, r2,
+            SimConfig(n_barcodes=80, molecules_per_barcode=3,
+                      pairs_per_molecule=20, indel_rate=0.1, vary_quals=True,
+                      seed=2),
+        )
+    out = tempfile.mkdtemp(prefix="arachne_bench_indel_")
+    try:
+        args = argparse.Namespace(
+            centromeres="", improper_pair_penalty=-4.0, partitions=40_000_000,
+            read_group="sample:library:molecule:flowcell:lane",
+            sample_id="sample", threads=2, sam=True, debug_tags=False,
+            engine="tpu", checkpoint="", stats_json="", profile_dir="",
+            output=out, reference=ref, r1=r1, r2=r2,
+        )
+        stats = run_align(args)
+        acc = evaluate_sam(os.path.join(out, "bc_sorted_bam.sam"))
+        import re as _re
+
+        gapped = 0
+        with open(os.path.join(out, "bc_sorted_bam.sam")) as fh:
+            for line in fh:
+                if not line.startswith("@") and _re.search(
+                    r"\d+[ID]", line.split("\t")[5]
+                ):
+                    gapped += 1
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    pps = stats.reads / max(stats.elapsed, 1e-9)
+    overall = acc.correct / max(acc.total, 1)
+    return {
+        "metric": "indel_e2e_pairs_per_sec",
+        "value": round(pps, 1),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(overall, 4),
+        "detail": {
+            "pairs": stats.reads,
+            "accuracy_overall": round(overall, 4),
+            "gapped_records": gapped,
+            "fixture": "2 Mbp genome, 4800 pairs, indel_rate 0.1 (device "
+                       "traceback path)",
+        },
+    }
+
+
 def bench_repeat_genome():
     """Hard-path run: repeat genome + skewed/invalid barcodes, with
     accuracy from the truth-encoding read names.  One full run (the main
@@ -353,12 +424,21 @@ def main():
     rep = bench_repeat_genome()
     print(json.dumps(rep), flush=True)
 
+    # gapped-path run: indels through the device traceback
+    ind = bench_indel_e2e()
+    print(json.dumps(ind), flush=True)
+
     # headline product metric LAST (the driver parses the final JSON line)
     e2e = bench_end_to_end()
     e2e["detail"]["kernel_gcups"] = result["value"]
     e2e["detail"]["repeat_genome"] = {
         "pairs_per_sec": rep["value"],
         "accuracy": rep["detail"]["accuracy_overall"],
+    }
+    e2e["detail"]["indel_e2e"] = {
+        "pairs_per_sec": ind["value"],
+        "accuracy": ind["detail"]["accuracy_overall"],
+        "gapped_records": ind["detail"]["gapped_records"],
     }
     print(json.dumps(e2e), flush=True)
 
