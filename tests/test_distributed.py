@@ -361,3 +361,26 @@ class TestSurvivorCompletes:
             if fn.startswith("bc_sorted_bam") and fn.endswith(".sam"):
                 got += _sam_records(os.path.join(out, fn))
         assert sorted(got) == single
+
+
+class TestClaimsDigest:
+    """Digest agreement guards resuming fleets against divergent manifest
+    visibility (parallel/distributed.assert_uniform_int call in cli.py)."""
+
+    def test_digest_reflects_visible_claims(self, tmp_path):
+        from arachne_tpu.runtime.checkpoint import Checkpoint, CheckpointedStream, Claim
+
+        r1, r2 = "a.fq", "b.fq"
+        full = Checkpoint(r1=r1, r2=r2,
+                          claims=[Claim(0, 0, 2, 7), Claim(0, 1, 2, 5)])
+        full.save(str(tmp_path / "m.json.host000"))
+        partial = Checkpoint(r1=r1, r2=r2, claims=[Claim(0, 0, 2, 7)])
+        partial.save(str(tmp_path / "m2.json.host000"))
+
+        # host A sees both manifests; host B's glob (different base) sees one
+        a = CheckpointedStream(r1, r2, str(tmp_path / "m.json.host001"))
+        b = CheckpointedStream(r1, r2, str(tmp_path / "m2.json.host001"))
+        assert a.claims_digest() != b.claims_digest()
+        # identical views agree regardless of which host computes
+        a2 = CheckpointedStream(r1, r2, str(tmp_path / "m.json.host002"))
+        assert a.claims_digest() == a2.claims_digest()
