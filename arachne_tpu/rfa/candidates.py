@@ -41,6 +41,16 @@ class ChainedHit:
     easy: Optional[EasyAlignment] = None     # the interpreted hit ("aln")
     fastq: Optional["FastQRecordView"] = None
     read: Optional[bytes] = None
+    codes: Optional[np.ndarray] = None       # memoized seq_to_codes(read)
+
+
+def chain_codes(ch: "ChainedHit") -> np.ndarray:
+    """The chain's read as 2-bit codes, encoded once (three consumers:
+    the reg2aln job batch, the CIGAR mismatch walk, and the replay path
+    all re-encoded the same bytes).  Read-only by convention."""
+    if ch.codes is None:
+        ch.codes = seq_to_codes(ch.read)
+    return ch.codes
 
 
 @dataclass
@@ -155,7 +165,7 @@ def get_alignments(
         for i in range(n):
             for ch in barcode_chains[i]:
                 if ch.easy is not None:
-                    jobs.append((seq_to_codes(ch.read), ch.easy.reg))
+                    jobs.append((chain_codes(ch), ch.easy.reg))
                     keys.append(id(ch))
         mem_cache = dict(zip(keys, engine.reg2aln_batch(jobs)))
     for i in range(n):
@@ -166,7 +176,7 @@ def get_alignments(
         for ch in barcode_chains[i]:
             codes = None
             if ch.easy is not None:
-                codes = seq_to_codes(ch.read)
+                codes = chain_codes(ch)
                 if mem_cache is not None:
                     mem = mem_cache[id(ch)]
                 else:
@@ -199,7 +209,7 @@ def get_alignments(
             if codes is not None:
                 read_seq = codes
             else:
-                read_seq = seq_to_codes(ch.read) if ch.read else np.empty(0, dtype=np.uint8)
+                read_seq = chain_codes(ch) if ch.read else np.empty(0, dtype=np.uint8)
             ref_off = 0
             read_off = 0
             # walk the CIGAR; reversed hits walk it back-to-front so offsets

@@ -178,6 +178,7 @@ def process_barcodes(
     """
     from ..align.pipeline import seq_to_codes
     from ..runtime.timers import TIMERS
+    from .candidates import chain_codes
 
     all_pairs = []
     spans = []
@@ -201,7 +202,7 @@ def process_barcodes(
         for lst in chains:
             for ch in lst:
                 if ch.easy is not None:
-                    jobs.append((seq_to_codes(ch.read), ch.easy.reg))
+                    jobs.append((chain_codes(ch), ch.easy.reg))
                     keys.append(id(ch))
     with TIMERS.stage("cigar"):
         mem_cache = dict(zip(keys, engine.reg2aln_batch(jobs))) if jobs else {}
