@@ -106,3 +106,37 @@ def test_codes2_packed_matches_dense_construction():
     pac2, counts = codes2_packed(packed, chunk=4096)
     assert np.array_equal(unpack_2bit(pac2, 0, 2 * packed.l_pac), want)
     assert np.array_equal(counts, np.bincount(want, minlength=4))
+
+
+def test_align_against_incremental_index(tmp_path):
+    """Full pipeline e2e on an index built by the incremental path: the
+    on-disk artifact, not just the in-memory arrays, must be equivalent
+    (load -> simulate -> align -> perfect accuracy)."""
+    import os
+
+    import numpy as np
+
+    from arachne_tpu.cli import main as cli_main
+    from arachne_tpu.index.build import build_index_files
+    from arachne_tpu.io.simulate import SimConfig, simulate_linked_reads
+    from arachne_tpu.runtime.accuracy import evaluate_sam
+
+    rng = np.random.default_rng(8)
+    genome = "".join("ACGT"[i] for i in rng.integers(0, 4, 400_000))
+    fasta = str(tmp_path / "inc.fa")
+    with open(fasta, "w") as fh:
+        fh.write(">chrZ\n")
+        for i in range(0, len(genome), 70):
+            fh.write(genome[i : i + 70] + "\n")
+    build_index_files(fasta, build_mode="incremental")
+    r1, r2 = str(tmp_path / "i.R1.fq.gz"), str(tmp_path / "i.R2.fq.gz")
+    n = simulate_linked_reads(
+        [("chrZ", "", genome)], r1, r2,
+        SimConfig(n_barcodes=4, molecules_per_barcode=2, molecule_len=9000,
+                  pairs_per_molecule=8, indel_rate=0.2, seed=5),
+    )
+    out = str(tmp_path / "out")
+    cli_main(["align", "--sam", out, fasta, r1, r2])
+    stats = evaluate_sam(os.path.join(out, "bc_sorted_bam.sam"))
+    assert stats.total == 2 * n
+    assert stats.correct / stats.total >= 0.99
