@@ -238,7 +238,12 @@ class BatchExtender:
     Call ``submit`` repeatedly, then ``run`` to execute the whole batch;
     results come back as ksw_extend2 6-tuples in submission order."""
 
-    def __init__(self, opt: MemOptions, qmax: int = 256, tmax: int = 512):
+    def __init__(self, opt: MemOptions, qmax: int = 192, tmax: int = 512):
+        # qmax floor 192 (was 256): extension queries are seed sub-reads —
+        # measured p100 = 131 on 150 bp libraries — so every dispatch of
+        # <=192 bp reads shares ONE executable shape while computing 25%
+        # fewer DP rows than the old floor; longer reads re-bucket in
+        # 64-multiples as before.
         self.opt = opt
         self.qmax = qmax
         self.tmax = tmax
