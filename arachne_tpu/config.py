@@ -144,14 +144,18 @@ class IndexOptions:
     sa_mode: str = "auto"
     sa_full_max_len: int = 1 << 26
     # Construction algorithm: "sais" materializes the full int64 suffix
-    # array in RAM (fast below ~0.5 Gbp but ~28 GB peak per Gbp of
-    # fwd+rev rows); "incremental" is the memory-proportional ropebwt-style
-    # dynamic-BWT build (native/ropebwt.cpp; the reference's own answer
-    # above 50 Mbp, bwtindex.c:271).  "auto" switches to incremental once
-    # fwd+rev exceeds build_incremental_min_rows, keeping peak RSS within
-    # a ~32 GB budget at any genome size.
+    # array in RAM via the memory-lean native SA-IS (native/sais.cpp;
+    # peaks ~sais_bytes_per_row bytes per fwd+rev row); "incremental" is
+    # the memory-proportional ropebwt-style dynamic-BWT build
+    # (native/ropebwt.cpp; the reference's own answer above 50 Mbp,
+    # bwtindex.c:271) — several times slower but ~0.3 B/row.  "auto" uses
+    # sais below build_incremental_min_rows unconditionally, and above it
+    # whenever /proc/meminfo MemAvailable covers the sais peak (a 128 GB
+    # host builds GRCh38-scale in well under an hour; a small host
+    # degrades gracefully to incremental instead of OOMing).
     build_mode: str = "auto"
     build_incremental_min_rows: int = 1_000_000_000
+    sais_bytes_per_row: float = 13.0
 
 
 @dataclass(frozen=True)

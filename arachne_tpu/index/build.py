@@ -37,6 +37,22 @@ for _i, _c in enumerate("ACGT"):
 OCC_INTERVAL = 128  # bwt.h:36; blocks of 128 bases per occ checkpoint
 
 
+def available_ram_bytes() -> int:
+    """MemAvailable from /proc/meminfo (the kernel's estimate of what can
+    be allocated without swapping); conservative sysconf fallback."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    try:
+        return os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError):
+        return 0
+
+
 @dataclass
 class ContigAnn:
     """One reference contig annotation (bntann1_t, bntseq.h)."""
@@ -250,20 +266,37 @@ class FMIndexData:
     sa_intv: int = 32
 
 
-def bwt_from_sa(codes2: np.ndarray, sa: np.ndarray) -> Tuple[np.ndarray, int]:
+def bwt_from_sa(
+    codes2: np.ndarray, sa: np.ndarray, chunk: int = 1 << 26
+) -> Tuple[np.ndarray, int]:
     """BWT characters (with the $ row removed) + primary, from a full SA.
 
     codes2: the forward+reverse-complement concatenated base codes.
     sa: suffix array of codes2$ (length n+1).  Stored BWT indexing follows
     bwt.c: row k of the matrix maps to stored position k - (k > primary
     ... i.e. stored[j] is the char of row j + (j >= primary)).
+
+    Chunked: the obvious ``codes2[rows - 1]`` over a concatenated row list
+    would materialize two extra full-SA-sized temporaries (~100 GB at
+    human-genome scale); this streams sa in slices instead, so the only
+    full-size allocation is the output itself.
     """
     n = len(codes2)
-    primary = int(np.flatnonzero(sa == 0)[0])
-    rows = np.concatenate([sa[:primary], sa[primary + 1 :]])
-    # BWT char of a row with SA value v (v>0) is codes2[v-1]; row with v==0
-    # removed (that is primary).  Row 0 (v==n, the $-alone suffix) -> codes2[n-1].
-    return codes2[rows - 1], primary
+    out = np.empty(n, dtype=np.uint8)
+    primary = -1
+    w = 0
+    for start in range(0, len(sa), chunk):
+        seg = sa[start : start + chunk]
+        if primary < 0:
+            hits = np.flatnonzero(seg == 0)
+            if hits.size:
+                primary = start + int(hits[0])
+        vals = seg[seg != 0]
+        # BWT char of a row with SA value v (v>0) is codes2[v-1]; the v==0
+        # row is removed (that is primary).  Row 0 (v==n) -> codes2[n-1].
+        out[w : w + len(vals)] = codes2[vals - 1]
+        w += len(vals)
+    return out, primary
 
 
 def pack_bwt_words(bwt_chars: np.ndarray, chunk: int = 1 << 24) -> np.ndarray:
@@ -420,29 +453,41 @@ def build_fmindex(
     sa_intv: int = 32,
     keep_full_sa: bool = True,
 ) -> FMIndexData:
-    """Construct the FM-index over forward+reverse-complement."""
+    """Construct the FM-index over forward+reverse-complement.
+
+    Large-genome memory discipline: the dominant transient is the full
+    suffix array (8 bytes/row; ~50 GB for GRCh38 fwd+rev) — the lean
+    native SA-IS (native/sais.cpp) keeps everything else inside that one
+    buffer, and the arrays below are freed as soon as their consumers are
+    done, so human-scale builds peak around 75 GB (vs ~170 GB before the
+    lean rewrite, which forced such genomes onto the far slower
+    incremental path)."""
     fwd = unpack_2bit(packed.pac, 0, packed.l_pac)
     rev = (3 - fwd[::-1]).astype(np.uint8)
     codes2 = np.concatenate([fwd, rev])
+    del fwd, rev
     n = len(codes2)
-    sa = suffix_array(codes2)
-    bwt_chars, primary = bwt_from_sa(codes2, sa)
     counts = np.bincount(codes2, minlength=4).astype(np.int64)
     L2 = np.zeros(5, dtype=np.int64)
     np.cumsum(counts, out=L2[1:])
+    sa = suffix_array(codes2)
+    bwt_chars, primary = bwt_from_sa(codes2, sa)
+    del codes2
     sampled = None
     if sa_intv > 0:
         # bwt_sa semantics: sa_row[k] where rows are matrix rows 0..n.
         idx = np.arange(0, n + 1, sa_intv)
         sampled = sa[idx].astype(np.int64)
         sampled[0] = -1  # mirror bwt_cal_sa's sa[0] = -1 sentinel (bwt.c:83)
+    sa_keep = sa.astype(np.int64, copy=False) if keep_full_sa else None
+    del sa
     return FMIndexData(
         seq_len=n,
         primary=primary,
         L2=L2,
         bwt_words=pack_bwt_words(bwt_chars),
         occ=occ_checkpoints(bwt_chars),
-        sa=sa.astype(np.int64) if keep_full_sa else None,
+        sa=sa_keep,
         sa_sampled=sampled,
         sa_intv=sa_intv,
     )
@@ -530,9 +575,24 @@ def build_index_files(
     packed = pack_reference(contigs)
     n_rows = 2 * packed.l_pac
     if build_mode == "auto":
-        build_mode = (
-            "incremental" if n_rows > opts.build_incremental_min_rows else "sais"
-        )
+        if n_rows <= opts.build_incremental_min_rows:
+            build_mode = "sais"
+        else:
+            # Above the small-genome threshold the choice is RAM-driven:
+            # the lean SA-IS route peaks ~13 bytes/row (8 SA + text copies
+            # + type bits + recursion buckets, measured) and is several
+            # times faster than the memory-proportional incremental BWT
+            # (~0.3n bytes), so take it whenever this host can hold it.
+            avail = available_ram_bytes()
+            need = int(n_rows * opts.sais_bytes_per_row)
+            build_mode = "sais" if avail > need else "incremental"
+            if progress:
+                print(
+                    f"[index] build-mode auto: {n_rows/1e9:.1f}e9 rows, "
+                    f"sais needs ~{need >> 30} GiB, {avail >> 30} GiB "
+                    f"available -> {build_mode}",
+                    flush=True,
+                )
     if build_mode == "incremental":
         fm = build_fmindex_incremental(packed, progress=progress)
     else:

@@ -25,7 +25,7 @@ _SOURCES = ["sais.cpp", "smem.cpp", "chain.cpp", "ropebwt.cpp", "rfa_tail.cpp"]
 # A cached .so that predates a signature change reports an older value (or
 # lacks the symbol entirely) and is rejected rather than loaded with
 # mismatched ctypes argtypes, which would corrupt memory silently.
-_EXPECTED_ABI = 6
+_EXPECTED_ABI = 7
 
 
 def _build() -> Optional[str]:
@@ -91,6 +91,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
         ]
         lib.sais_u8_i32.restype = ctypes.c_int
+        try:
+            lib.sais_ref_u8_i64.argtypes = lib.sais_u8_i64.argtypes
+            lib.sais_ref_u8_i64.restype = ctypes.c_int
+        except AttributeError:
+            pass  # stale .so without the parity oracle
         try:
             lib.smem_collect_batch.argtypes = [
                 ctypes.POINTER(ctypes.c_uint32),   # words
@@ -301,7 +306,8 @@ def suffix_array_native(codes: np.ndarray) -> Optional[np.ndarray]:
         return None
     n = len(codes)
     s = np.empty(n + 1, dtype=np.uint8)
-    s[:n] = codes + 1
+    s[:n] = codes
+    s[:n] += 1  # in place: `codes + 1` would cost a second n-byte temporary
     s[n] = 0
     if n + 1 < (1 << 31):
         sa = np.empty(n + 1, dtype=np.int32)

@@ -67,6 +67,38 @@ class TestSuffixArray:
         shifted = "".join(chr(c + 1) for c in codes)
         assert np.array_equal(suffix_array(codes), brute_suffix_array(shifted))
 
+    def test_sais_lean_parity(self, rng):
+        """The memory-lean production SA-IS (sais_u8_i64) against the
+        straightforward implementation kept as oracle (sais_ref_u8_i64),
+        over adversarial shapes: random, periodic, constant, long runs."""
+        import ctypes
+
+        from arachne_tpu.native import get_lib
+
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "sais_ref_u8_i64"):
+            pytest.skip("native library unavailable")
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+
+        def run(fn, s):
+            sa = np.empty(len(s), dtype=np.int64)
+            assert fn(s.ctypes.data_as(u8p), sa.ctypes.data_as(i64p),
+                      np.int64(len(s)), np.int64(6)) == 0
+            return sa
+
+        cases = [
+            rng.integers(1, 5, size=4097).astype(np.uint8),
+            np.tile(np.array([1, 2, 3], np.uint8), 500),
+            np.full(1000, 2, np.uint8),
+            np.repeat(rng.integers(1, 5, size=40).astype(np.uint8), 53),
+        ]
+        for codes in cases:
+            s = np.concatenate([codes, np.zeros(1, np.uint8)])
+            assert np.array_equal(
+                run(lib.sais_u8_i64, s), run(lib.sais_ref_u8_i64, s)
+            )
+
 
 class TestFMIndex:
     @pytest.fixture(scope="class")
