@@ -200,6 +200,107 @@ class TestBAMBinary:
         assert n_records == 4  # 2 pairs x 2 mates
 
 
+class TestBAMIndependentParse:
+    """Field-complete BAM validation through tests/bam_reader.py — an
+    independent SAMv1-spec implementation (own BGZF walk, own record
+    decoder) that shares no code or assumptions with arachne_tpu.io.bam.
+    The same input is aligned twice (binary BAM and SAM text); every field
+    of every record must agree between the two encodings, each parsed by
+    its own path (bamwriter.go:283-568 record semantics)."""
+
+    @pytest.fixture(scope="class")
+    def both_outputs(self, tmp_path_factory, small_reference):
+        tmp = tmp_path_factory.mktemp("bam_cross")
+        fasta = str(tmp / "ref.fa")
+        write_fasta(fasta, small_reference)
+        chr1 = small_reference[0][2]
+        pairs = []
+        for i, pos in enumerate([2000, 2200, 2400, 2600, 2800]):
+            frag = chr1[pos : pos + 260]
+            pairs.append(
+                (f"m_{i}", "A01C02B03D04", True, frag[:100], revcomp_str(frag[160:260]))
+            )
+        # one read with a 4-base deletion (forces a D CIGAR op) and one
+        # with a 3-base insertion (I op) so gapped records are covered
+        frag = chr1[3200:3500]
+        del_read = frag[:50] + frag[54:104]
+        pairs.append(("del_0", "A01C02B03D04", True, del_read, revcomp_str(frag[200:300])))
+        ins_read = frag[:50] + "ACG" + frag[50:97]
+        pairs.append(("ins_0", "A01C02B03D04", True, ins_read, revcomp_str(frag[200:300])))
+        r1 = str(tmp / "x.R1.fq.gz")
+        r2 = str(tmp / "x.R2.fq.gz")
+        make_fastq(r1, r2, pairs)
+        out_bam = str(tmp / "out_bam")
+        out_sam = str(tmp / "out_sam")
+        cli_main(["align", out_bam, fasta, r1, r2])
+        cli_main(["align", "--sam", out_sam, fasta, r1, r2])
+        return out_bam, out_sam
+
+    def test_every_field_roundtrips(self, both_outputs):
+        from bam_reader import read_bam, reg2bin, tag_to_sam
+
+        out_bam, out_sam = both_outputs
+        bam = read_bam(os.path.join(out_bam, "bc_sorted_bam.bam"))
+        _, sam_records = parse_sam(os.path.join(out_sam, "bc_sorted_bam.sam"))
+        assert len(bam.records) == len(sam_records) > 0
+        gapped = 0
+        for rec, row in zip(bam.records, sam_records):
+            assert rec.qname == row[0]
+            assert rec.flag == int(row[1])
+            assert bam.rname(rec.rid) == row[2]
+            assert rec.pos + 1 == int(row[3])  # BAM 0-based
+            assert rec.mapq == int(row[4])
+            assert rec.cigar_str() == row[5]
+            rnext = bam.rname(rec.next_rid)
+            if rnext != "*" and rnext == bam.rname(rec.rid):
+                rnext = "="
+            assert rnext == row[6]
+            assert rec.next_pos + 1 == int(row[7])
+            assert rec.tlen == int(row[8])
+            assert rec.seq == row[9]
+            assert rec.qual == row[10]
+            # tags: same set, same values, rendered per SAM conventions
+            assert sorted(
+                tag_to_sam(t, ty, v) for t, (ty, v) in rec.tags.items()
+            ) == sorted(row[11:])
+            # BAI bin number recomputed from the spec's reg2bin
+            if rec.pos >= 0 and not (rec.flag & 0x4):
+                span = max(rec.ref_span(), 1)
+                assert rec.bin == reg2bin(rec.pos, rec.pos + span)
+            if any(op in "ID" for op, _ in rec.cigar):
+                gapped += 1
+        assert gapped >= 2  # the planted del/ins survived to the output
+
+    def test_header_matches(self, both_outputs):
+        from bam_reader import read_bam
+
+        out_bam, out_sam = both_outputs
+        bam = read_bam(os.path.join(out_bam, "bc_sorted_bam.bam"))
+        sam_header, _ = parse_sam(os.path.join(out_sam, "bc_sorted_bam.sam"))
+        assert bam.text.rstrip("\n").splitlines() == sam_header
+        # binary reference list must agree with the @SQ lines
+        sq = [l for l in sam_header if l.startswith("@SQ")]
+        assert len(sq) == len(bam.ref_names)
+        for line, name, length in zip(sq, bam.ref_names, bam.ref_lengths):
+            assert f"SN:{name}" in line and f"LN:{length}" in line
+
+    def test_position_bucketed_shards_parse(self, both_outputs):
+        """Every bucketed shard must be independently parseable too."""
+        from bam_reader import read_bam
+
+        out_bam, _ = both_outputs
+        shards = [
+            f for f in os.listdir(out_bam)
+            if f.endswith(".bam") and f != "bc_sorted_bam.bam"
+        ]
+        assert shards
+        total = 0
+        for f in shards:
+            total += len(read_bam(os.path.join(out_bam, f)).records)
+        bc = read_bam(os.path.join(out_bam, "bc_sorted_bam.bam"))
+        assert total == len(bc.records)
+
+
 class TestStandardizeThenAlign:
     @pytest.mark.parametrize("fmt", ["stlfr", "tellseq"])
     def test_native_format_through_full_pipeline(self, tmp_path, fmt):
