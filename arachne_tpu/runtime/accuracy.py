@@ -36,6 +36,7 @@ class AccuracyStats:
     total_mapq10: int = 0
     correct_mapq10: int = 0
     by_mapq: Dict[int, List[int]] = field(default_factory=dict)  # bucket -> [total, correct]
+    by_exact_mapq: Dict[int, List[int]] = field(default_factory=dict)  # q -> [total, correct]
 
     def note(
         self,
@@ -65,6 +66,9 @@ class AccuracyStats:
         row = self.by_mapq.setdefault(bucket, [0, 0])
         row[0] += 1
         row[1] += int(ok)
+        row = self.by_exact_mapq.setdefault(min(mapq, 60), [0, 0])
+        row[0] += 1
+        row[1] += int(ok)
 
     def as_csv(self) -> str:
         """The "mapq.csv" style table."""
@@ -75,6 +79,43 @@ class AccuracyStats:
         lines.append(f"all,{self.total},{self.correct},"
                      f"{(self.correct / self.total) if self.total else 0:.4f}")
         return "\n".join(lines) + "\n"
+
+    def calibration_rows(self, min_n: int = 20) -> List[Dict]:
+        """MAPQ calibration: per exact reported q (pooled into the 10-wide
+        bucket when a q value has < min_n records), the empirical error
+        rate vs the error the q value CLAIMS (10^(-q/10)).  This is the
+        living version of the mapq.csv the reference's RFAStats vestige
+        intended (aligner.go:217-229, 797-922)."""
+        pooled: Dict[int, List[int]] = {}
+        for q, (t, c) in self.by_exact_mapq.items():
+            key = q if t >= min_n else min(q // 10 * 10, 60)
+            row = pooled.setdefault(key, [0, 0, 0])
+            row[0] += t
+            row[1] += c
+            row[2] += t * (10.0 ** (-q / 10.0))
+        out = []
+        for q in sorted(pooled):
+            t, c, pred = pooled[q]
+            out.append(
+                {
+                    "mapq": q,
+                    "n": t,
+                    "empirical_err": round((t - c) / t, 5) if t else 0.0,
+                    "claimed_err": round(pred / t, 5) if t else 0.0,
+                }
+            )
+        return out
+
+    def expected_calibration_error(self) -> float:
+        """Record-weighted |empirical - claimed| over the calibration rows
+        (lower is better calibrated); the bench's scalar guard."""
+        rows = self.calibration_rows()
+        n = sum(r["n"] for r in rows)
+        if not n:
+            return 0.0
+        return sum(
+            r["n"] * abs(r["empirical_err"] - r["claimed_err"]) for r in rows
+        ) / n
 
 
 def evaluate_sam(path: str, tolerance: int = 20) -> AccuracyStats:

@@ -286,6 +286,101 @@ def bench_repeat_genome():
     }
 
 
+def _hard_fixture(cache: str):
+    """Realistic-noise calibration fixture: 3 Mbp genome with
+    high-identity repeat families (8 x 15 x 2 kb at 99.9%) + reads at 1%
+    substitutions, 10% indel reads, varied quals, skewed barcodes with
+    invalid ones — hard enough that accuracy is meaningfully < 1.0 and
+    the low-MAPQ tail is populated, so MAPQ calibration (and regressions
+    in it) are visible."""
+    import os
+
+    os.makedirs(cache, exist_ok=True)
+    ref = os.path.join(cache, "hard_ref.fa")
+    r1 = os.path.join(cache, "hard.R1.fq.gz")
+    r2 = os.path.join(cache, "hard.R2.fq.gz")
+    if not os.path.exists(ref):
+        from arachne_tpu.io.simulate import make_repeat_genome
+
+        seq = make_repeat_genome(
+            3_000_000, n_families=8, copies=15, unit_len=2000,
+            identity=0.999, seed=20260821,
+        )
+        with open(ref, "w") as fh:
+            fh.write(">chr_hard\n")
+            for i in range(0, len(seq), 70):
+                fh.write(seq[i : i + 70] + "\n")
+    if not os.path.exists(ref + ".arx.npz"):
+        from arachne_tpu.index import build_index_files
+
+        build_index_files(ref)
+    if not (os.path.exists(r1) and os.path.exists(r2)):
+        from arachne_tpu.index import parse_fasta
+        from arachne_tpu.io.simulate import (
+            SimConfig, simulate_linked_reads, skewed_pair_counts,
+        )
+
+        rng = np.random.default_rng(23)
+        counts = skewed_pair_counts(rng, 120, mean_pairs=40, sigma=1.1)
+        simulate_linked_reads(
+            parse_fasta(ref), r1, r2,
+            SimConfig(
+                n_barcodes=120, pair_counts=counts, pairs_per_molecule=25,
+                error_rate=0.01, indel_rate=0.1, vary_quals=True,
+                invalid_every=19, seed=31,
+            ),
+        )
+    return ref, r1, r2
+
+
+def bench_mapq_calibration():
+    """MAPQ calibration on realistic noise: empirical error vs the error
+    each reported q claims (10^(-q/10)), per MAPQ bin.  value = expected
+    calibration error (record-weighted |empirical - claimed|, lower
+    better); vs_baseline = overall accuracy (expected < 1.0 on this
+    fixture, so placement regressions surface here too).  The living
+    mapq.csv the reference's RFAStats vestige intended
+    (aligner.go:217-229)."""
+    import argparse
+    import os
+    import shutil
+    import tempfile
+
+    from arachne_tpu.cli import run_align
+    from arachne_tpu.runtime.accuracy import evaluate_sam
+
+    cache = os.path.expanduser("~/.cache/arachne_bench")
+    ref, r1, r2 = _hard_fixture(cache)
+    out = tempfile.mkdtemp(prefix="arachne_bench_cal_")
+    try:
+        args = argparse.Namespace(
+            centromeres="", improper_pair_penalty=-4.0, partitions=40_000_000,
+            read_group="sample:library:molecule:flowcell:lane",
+            sample_id="sample", threads=2, sam=True, debug_tags=False,
+            engine="tpu", checkpoint="", stats_json="", profile_dir="",
+            output=out, reference=ref, r1=r1, r2=r2,
+        )
+        stats = run_align(args)
+        acc = evaluate_sam(os.path.join(out, "bc_sorted_bam.sam"))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    overall = acc.correct / max(acc.total, 1)
+    return {
+        "metric": "mapq_expected_calibration_error",
+        "value": round(acc.expected_calibration_error(), 5),
+        "unit": "|empirical-claimed| err, record-weighted",
+        "vs_baseline": round(overall, 4),
+        "detail": {
+            "pairs": stats.reads,
+            "pairs_per_sec": round(stats.reads / max(stats.elapsed, 1e-9), 1),
+            "accuracy_overall": round(overall, 4),
+            "calibration": acc.calibration_rows(),
+            "fixture": "3 Mbp, 8x15x2kb repeats @99.9% id; 1% subs + 10% "
+                       "indel reads + varied quals; 120 skewed barcodes",
+        },
+    }
+
+
 def bench_end_to_end(trials: int = 3):
     """Full-pipeline pairs/s with the TPU engine; returns the JSON record.
 
@@ -428,6 +523,10 @@ def main():
     ind = bench_indel_e2e()
     print(json.dumps(ind), flush=True)
 
+    # MAPQ calibration on realistic noise (accuracy intentionally < 1.0)
+    cal = bench_mapq_calibration()
+    print(json.dumps(cal), flush=True)
+
     # headline product metric LAST (the driver parses the final JSON line)
     e2e = bench_end_to_end()
     e2e["detail"]["kernel_gcups"] = result["value"]
@@ -439,6 +538,10 @@ def main():
         "pairs_per_sec": ind["value"],
         "accuracy": ind["detail"]["accuracy_overall"],
         "gapped_records": ind["detail"]["gapped_records"],
+    }
+    e2e["detail"]["mapq_calibration"] = {
+        "expected_calibration_error": cal["value"],
+        "accuracy": cal["detail"]["accuracy_overall"],
     }
     print(json.dumps(e2e), flush=True)
 
