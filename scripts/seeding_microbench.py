@@ -92,6 +92,36 @@ def main() -> None:
         print(f"bandwidth  B={B:>8,}: {dt * 1e3:8.2f} ms/exec  "
               f"{B / dt / 1e6:9.1f} M rank-queries/s")
 
+    # --- Pallas per-query DMA gathers (the round-5 lever) ---------------
+    # parity on a small batch first, then throughput at the bandwidth
+    # shapes; --no-pallas skips (e.g. CPU hosts without Mosaic)
+    if "--no-pallas" not in sys.argv:
+        from arachne_tpu.ops.pallas_gather import PallasRankTable
+
+        ptab = PallasRankTable(dfm)
+        ks_small = jnp.asarray(
+            rng.integers(1, idx.seq_len - 1, 2048).astype(np.int32)
+        )
+        got = np.asarray(ptab.occ4(ks_small))
+        want = np.asarray(occ4_jit(ks_small.astype(dfm.idt)))
+        assert np.array_equal(got, want), "pallas occ4 parity FAILED"
+        print("pallas occ4 parity ok (2048 interior rows)")
+        pallas_jit = jax.jit(ptab.occ4)
+        for B in (1 << 14, 1 << 17, 1 << 20):
+            ks = jnp.asarray(rng.integers(1, idx.seq_len - 1, B).astype(np.int32))
+            pallas_jit(ks)  # warm/compile
+
+            def step(prev, ks=ks):
+                if prev is None:
+                    return pallas_jit(ks)
+                return pallas_jit(
+                    ((ks + prev[0, 0]) % jnp.int32(idx.seq_len - 2)) + 1
+                )
+
+            dt = slope_time(step)
+            print(f"pallas-dma B={B:>8,}: {dt * 1e3:8.2f} ms/exec  "
+                  f"{B / dt / 1e6:9.1f} M rank-queries/s")
+
     # --- latency: sequentially dependent while-loop steps ---------------
     def chain_loop(ks, n_steps):
         def body(c):
