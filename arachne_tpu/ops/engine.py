@@ -119,7 +119,9 @@ class TpuEngine:
             return
         from ..runtime.timers import TIMERS
 
-        with TIMERS.stage("warmup"):
+        # suppress(): the batchers' inner fetch timers must not book the
+        # first-execution load stall as steady-state dispatch time
+        with TIMERS.suppress():
             q = np.zeros(32, np.uint8)
             t = np.zeros(64, np.uint8)
             self.extender.submit(q, t, self.opt.w, 0, 32)

@@ -196,6 +196,18 @@ def traceback_device(
     return ops, i, k
 
 
+@jax.jit
+def _bundle_tb(score, ops, fi, fk):
+    """Stack (score, fi, fk) as int8 rows on top of the op stream so one
+    chunk's traceback lands in a single (12 + max_steps, B) int8 fetch."""
+    meta = jnp.stack(
+        [score.astype(jnp.int32), fi.astype(jnp.int32), fk.astype(jnp.int32)]
+    )                                                        # (3, B)
+    meta8 = jax.lax.bitcast_convert_type(meta, jnp.int8)     # (3, B, 4)
+    meta_rows = meta8.transpose(0, 2, 1).reshape(12, -1)     # (12, B)
+    return jnp.concatenate([meta_rows, ops], axis=0)
+
+
 def decode_traceback_ops(
     ops_col: np.ndarray, fi: int, fk: int
 ) -> List[Tuple[int, int]]:
@@ -416,17 +428,29 @@ class BatchGlobal:
                 z, ql_d, tl_d, ws_d, qmax=qmax, tmax=tmax,
                 max_steps=qmax + tmax,
             )
-            pending.append((score, ops, fi, fk, nb))
+            # ONE fetch per chunk: score/fi/fk bitcast to int8 rows and
+            # stacked onto the op stream — each np.asarray is a full
+            # tunnel round trip (~25 ms), and 4 per chunk made the fetch
+            # loop the dominant term of the gapped path (global.devtb
+            # 3.2 s of a 12.6 s indel run before this)
+            bundle = _bundle_tb(score, ops, fi, fk)
+            pending.append((bundle, nb))
 
         from ..runtime.timers import TIMERS
 
         results = []
-        for score, ops, fi, fk, nb in pending:
+        for bundle, nb in pending:
             with TIMERS.stage(f"global.devtb.{qmax}x{tmax}"):
-                sc = np.asarray(score)[:nb]
-                ops_h = np.asarray(ops)[:, :nb]
-                fi_h = np.asarray(fi)[:nb]
-                fk_h = np.asarray(fk)[:nb]
+                raw = np.asarray(bundle)
+            meta = (
+                raw[:12]
+                .reshape(3, 4, raw.shape[1])
+                .transpose(0, 2, 1)
+                .copy()
+                .view(np.int32)[..., 0]
+            )
+            sc, fi_h, fk_h = meta[0], meta[1], meta[2]
+            ops_h = raw[12:]
             for i in range(nb):
                 cig = decode_traceback_ops(ops_h[:, i], int(fi_h[i]), int(fk_h[i]))
                 results.append((int(sc[i]), cig))
@@ -450,17 +474,32 @@ class BatchGlobal:
             return []
         problems = self.problems
         self.problems = []
-        score, _ = self._kernel(problems, want_z=False)
         out: List[Optional[Tuple[int, Optional[List[Tuple[int, int]]]]]] = [None] * len(problems)
         need_tb = []
-        for i, (q, t, w) in enumerate(problems):
-            sc = int(score[i])
-            if not want_cigar:
-                out[i] = (sc, None)
-            elif len(q) == len(t) and sc == int(self.mat_np[t, q].sum()):
-                out[i] = (sc, [(0, len(q))])
-            else:
-                need_tb.append(i)
+        # length-mismatched problems can never take the all-M shortcut, so
+        # the score-only pass would be pure waste for them (the traceback
+        # kernel recomputes the same DP); send them straight to traceback
+        # and score-screen only the equal-length ones
+        screened = [
+            i for i, (q, t, w) in enumerate(problems)
+            if not want_cigar or len(q) == len(t)
+        ]
+        if screened:
+            score, _ = self._kernel([problems[i] for i in screened], want_z=False)
+            for k, i in enumerate(screened):
+                q, t, w = problems[i]
+                sc = int(score[k])
+                if not want_cigar:
+                    out[i] = (sc, None)
+                elif sc == int(self.mat_np[t, q].sum()):
+                    out[i] = (sc, [(0, len(q))])
+                else:
+                    need_tb.append(i)
+        if want_cigar:
+            need_tb += [
+                i for i, (q, t, w) in enumerate(problems) if len(q) != len(t)
+            ]
+            need_tb.sort()
         if need_tb:
             global TRACEBACK_FETCHES
             TRACEBACK_FETCHES += len(need_tb)

@@ -23,9 +23,31 @@ class StageTimers:
         self._lock = threading.Lock()
         self.seconds: Dict[str, float] = defaultdict(float)
         self.calls: Dict[str, int] = defaultdict(int)
+        self._tls = threading.local()
+
+    @contextmanager
+    def suppress(self):
+        """Drop stage() accounting on this thread for the duration.
+
+        Used by TpuEngine.warmup: the first execution of each executable
+        through the tunnel costs seconds-to-minutes of load stall, and the
+        device batchers' inner fetch timers (extend.dispatch.* etc) would
+        otherwise book that stall as steady-state stage time — round 5
+        found an indel-bench report showing 47 s of 'dispatch' in an 11 s
+        run this way.  Warmup keeps its own 'warmup' stage via add()."""
+        t0 = time.perf_counter()
+        self._tls.off = getattr(self._tls, "off", 0) + 1
+        try:
+            yield
+        finally:
+            self._tls.off -= 1
+            self.add("warmup", time.perf_counter() - t0)
 
     @contextmanager
     def stage(self, name: str):
+        if getattr(self._tls, "off", 0):
+            yield
+            return
         t0 = time.perf_counter()
         try:
             yield

@@ -85,15 +85,20 @@ ROUND1_PAIRS_PER_SEC = 163.0  # steady state recorded in round 1 (VERDICT.md)
 
 
 def _bench_fixture(cache: str):
-    """2 Mbp reference + 80-barcode/4800-pair simulated linked reads,
-    cached across bench runs (the index build is deterministic)."""
+    """2 Mbp reference + 320-barcode/19,200-pair simulated linked reads,
+    cached across bench runs (the index build is deterministic).
+
+    Round-4's 4800-pair fixture ran ~2.2 s — short enough that tunnel
+    round-trip jitter put a ±20% band on the headline (trials spanned
+    1467-2074 pairs/s in one session).  4x the pairs amortizes the fixed
+    noise to target <10% trial spread at identical per-barcode shape."""
     import gzip
     import os
 
     os.makedirs(cache, exist_ok=True)
     ref = os.path.join(cache, "bench_ref.fa")
-    r1 = os.path.join(cache, "bench.R1.fq.gz")
-    r2 = os.path.join(cache, "bench.R2.fq.gz")
+    r1 = os.path.join(cache, "bench20k.R1.fq.gz")
+    r2 = os.path.join(cache, "bench20k.R2.fq.gz")
     if not os.path.exists(ref):
         rng = np.random.default_rng(20260820)
         seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 2_000_000))
@@ -112,7 +117,7 @@ def _bench_fixture(cache: str):
         simulate_linked_reads(
             parse_fasta(ref), r1, r2,
             SimConfig(
-                n_barcodes=80, molecules_per_barcode=3, pairs_per_molecule=20,
+                n_barcodes=320, molecules_per_barcode=3, pairs_per_molecule=20,
                 seed=7,
             ),
         )
@@ -185,8 +190,8 @@ def bench_indel_e2e():
     cache = os.path.expanduser("~/.cache/arachne_bench")
     os.makedirs(cache, exist_ok=True)
     ref = os.path.join(cache, "bench_ref.fa")   # shares the e2e genome
-    r1 = os.path.join(cache, "bench_indel.R1.fq.gz")
-    r2 = os.path.join(cache, "bench_indel.R2.fq.gz")
+    r1 = os.path.join(cache, "bench_indel20k.R1.fq.gz")
+    r2 = os.path.join(cache, "bench_indel20k.R2.fq.gz")
     if not os.path.exists(ref):
         _bench_fixture(cache)
     if not os.path.exists(r1):
@@ -195,10 +200,13 @@ def bench_indel_e2e():
 
         simulate_linked_reads(
             parse_fasta(ref), r1, r2,
-            SimConfig(n_barcodes=80, molecules_per_barcode=3,
+            SimConfig(n_barcodes=320, molecules_per_barcode=3,
                       pairs_per_molecule=20, indel_rate=0.1, vary_quals=True,
                       seed=2),
         )
+    from arachne_tpu.runtime.timers import TIMERS
+
+    TIMERS.reset()
     out = tempfile.mkdtemp(prefix="arachne_bench_indel_")
     try:
         args = argparse.Namespace(
@@ -223,6 +231,8 @@ def bench_indel_e2e():
         shutil.rmtree(out, ignore_errors=True)
     pps = stats.reads / max(stats.elapsed, 1e-9)
     overall = acc.correct / max(acc.total, 1)
+    stage = TIMERS.as_dict()
+    stage.pop("warmup", None)
     return {
         "metric": "indel_e2e_pairs_per_sec",
         "value": round(pps, 1),
@@ -232,7 +242,8 @@ def bench_indel_e2e():
             "pairs": stats.reads,
             "accuracy_overall": round(overall, 4),
             "gapped_records": gapped,
-            "fixture": "2 Mbp genome, 4800 pairs, indel_rate 0.1 (device "
+            "stage_seconds": {k: round(v["seconds"], 3) for k, v in stage.items()},
+            "fixture": "2 Mbp genome, 19200 pairs, indel_rate 0.1 (device "
                        "traceback path)",
         },
     }
