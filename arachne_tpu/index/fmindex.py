@@ -326,6 +326,14 @@ class FMIndex:
     # O(1) window slicing (the per-window 2-bit unpack was ~15% of the
     # chaining stage).  Gated by size so multi-Gbp genomes keep the 2-bit
     # footprint; override with ARACHNE_UNPACK_MAX (bases).
+    #
+    # Round 5 measured the RAM-generous alternative and it LOSES at
+    # human scale: unpacking 3.1 Gbp to a byte-per-base cache cost 767
+    # vs 989 pairs/s on the 6.2e9-row 100k-pair run (chain.host 24 s ->
+    # 85 s) — at that size every window slice is a DRAM/TLB miss over a
+    # 3.1 GB array, while the 4x-denser pac keeps more of itself in
+    # cache, and the one-time unpack itself burns ~30 s inside the
+    # pipeline.  The fixed 256 Mbp cap is the measured right default.
     _UNPACK_MAX_DEFAULT = 1 << 28
 
     def _fwd_codes(self) -> Optional[np.ndarray]:

@@ -77,11 +77,33 @@ static inline void occ4(const FM& fm, int64_t k, int64_t out[4]) {
 }
 
 // bwt_extend (bwt.c:262-275): ok[c] = interval after extending with c.
+// Prefetch the occ-checkpoint and bwt-word cache lines a rank query at
+// row k will touch.  At human-genome scale the tables are ~3 GB, every
+// occ4 is a DRAM miss (~50% of single-thread align time measured on the
+// 6.2e9-row index), and the two occ4s of one extend — plus the next
+// loop iteration's — are independent, so issuing their line addresses
+// early lets the core overlap the misses instead of serializing them.
+static inline void prefetch_rank(const FM& fm, int64_t k) {
+    if (k < 0 || k >= fm.seq_len) return;
+    int64_t kk = k - (k >= fm.primary ? 1 : 0);
+    int64_t block = kk >> 7;
+    __builtin_prefetch(fm.occ + block * 4);
+    __builtin_prefetch(fm.words + block * 8);
+}
+
+static inline void prefetch_extend(const FM& fm, int64_t x0, int64_t x1,
+                                   int64_t x2, bool is_back) {
+    int64_t xb = is_back ? x0 : x1;
+    prefetch_rank(fm, xb - 1);
+    prefetch_rank(fm, xb - 1 + x2);
+}
+
 static inline void extend(const FM& fm, int64_t x0, int64_t x1, int64_t x2,
                           bool is_back, int64_t ok0[4], int64_t ok1[4],
                           int64_t ok2[4]) {
     int64_t xb = is_back ? x0 : x1;
     int64_t tk[4], tl[4];
+    prefetch_extend(fm, x0, x1, x2, is_back);
     occ4(fm, xb - 1, tk);
     occ4(fm, xb - 1 + x2, tl);
     int64_t okb[4], oks[4], oko[4];
@@ -146,7 +168,13 @@ static int32_t smem1a(const FM& fm, const uint8_t* q, int32_t len, int32_t x,
     for (int32_t bi = x - 1; bi >= -1; --bi) {
         int c = (bi < 0) ? -1 : (q[bi] < 4 ? q[bi] : -1);
         curr.clear();
-        for (const Intv& p : prev) {
+        for (size_t pi = 0; pi < prev.size(); ++pi) {
+            const Intv& p = prev[pi];
+            if (pi + 1 < prev.size()) {
+                // overlap the next item's rank-table misses with this one
+                const Intv& nx = prev[pi + 1];
+                prefetch_extend(fm, nx.k, nx.l, nx.s, true);
+            }
             bool have_oc = false;
             Intv oc;
             if (c >= 0 && p.s >= max_intv) {
