@@ -54,6 +54,10 @@ class TpuEngine:
         self.local = BatchLocalSW(cfg.mem)
         self.global_ = BatchGlobal(cfg.mem)
         self.dfm = None
+        if device_seeding is None and os.environ.get("ARACHNE_DEVICE_SEEDING") in (
+            "0", "1"
+        ):
+            device_seeding = os.environ["ARACHNE_DEVICE_SEEDING"] == "1"
         if device_seeding is None:
             # the seeding kernels' while-loop state machines compile/run
             # pathologically on the experimental axon tunnel backend (which

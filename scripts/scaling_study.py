@@ -77,6 +77,10 @@ def run_once(ref, r1, r2, n_devices, threads, extra_env=None, extra_args=None):
         + env.get("XLA_FLAGS", "")
     ).strip()
     env.setdefault("ARACHNE_DEVICE_DP", "auto")
+    # mirror the production TPU configuration: host-side seeding (the
+    # CPU backend would otherwise auto-enable the device state machine,
+    # which dominates the run and measures the wrong thing)
+    env.setdefault("ARACHNE_DEVICE_SEEDING", "0")
     env.update(extra_env or {})
     cmd = [
         sys.executable, "-m", "arachne_tpu.cli", "align", "--sam",
