@@ -19,13 +19,16 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-_SOURCES = ["sais.cpp", "smem.cpp", "chain.cpp", "ropebwt.cpp", "rfa_tail.cpp"]
+_SOURCES = [
+    "sais.cpp", "smem.cpp", "chain.cpp", "ropebwt.cpp", "rfa_tail.cpp",
+    "cigarwalk.cpp",
+]
 
 # Expected ABI of the compiled library (ARACHNE_NATIVE_ABI in ropebwt.cpp).
 # A cached .so that predates a signature change reports an older value (or
 # lacks the symbol entirely) and is rejected rather than loaded with
 # mismatched ctypes argtypes, which would corrupt memory silently.
-_EXPECTED_ABI = 7
+_EXPECTED_ABI = 8
 
 
 def _build() -> Optional[str]:
@@ -196,10 +199,71 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.rfa_tail.restype = ctypes.c_int
         except AttributeError:
             pass  # stale .so without the RFA tail
+        try:
+            i32p_c = ctypes.POINTER(ctypes.c_int32)
+            i64p_c = ctypes.POINTER(ctypes.c_int64)
+            u8p_c = ctypes.POINTER(ctypes.c_uint8)
+            lib.cigar_walk_batch.argtypes = [
+                i32p_c, i64p_c,                 # cig, cig_off
+                u8p_c, i64p_c,                  # ref, ref_off
+                u8p_c, i64p_c,                  # read, read_off
+                u8p_c, i64p_c, i64p_c,          # rev, ref_start, ref_end
+                i32p_c,                         # edit_dist
+                ctypes.c_int64,                 # n
+                i32p_c, i64p_c, i32p_c, i32p_c, # counters, locs, rlocs, n
+                ctypes.c_int32,                 # n_threads
+            ]
+            lib.cigar_walk_batch.restype = ctypes.c_int
+        except AttributeError:
+            pass  # stale .so without the cigar walk
         _lib = lib
     except Exception:
         _lib = None
     return _lib
+
+
+def cigar_walk_available() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "cigar_walk_batch")
+
+
+def cigar_walk_batch_native(
+    cig: np.ndarray, cig_off: np.ndarray,
+    ref: np.ndarray, ref_off: np.ndarray,
+    read: np.ndarray, read_off: np.ndarray,
+    rev: np.ndarray, ref_start: np.ndarray, ref_end: np.ndarray,
+    edit_dist: np.ndarray, n_threads: int = 1,
+):
+    """Batched GetAlignments cigar walk (native/cigarwalk.cpp).
+
+    Returns (counters (n,6) int32, mism_locs int64, mism_read_locs int32,
+    mism_n (n,) int32); the locus arrays are indexed at each hit's
+    read_off base.  None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "cigar_walk_batch"):
+        return None
+    n = len(cig_off) - 1
+    counters = np.zeros((n, 6), np.int32)
+    mism_locs = np.zeros(int(read_off[-1]), np.int64)
+    mism_read_locs = np.zeros(int(read_off[-1]), np.int32)
+    mism_n = np.zeros(n, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.cigar_walk_batch(
+        cig.ctypes.data_as(i32p), cig_off.ctypes.data_as(i64p),
+        ref.ctypes.data_as(u8p), ref_off.ctypes.data_as(i64p),
+        read.ctypes.data_as(u8p), read_off.ctypes.data_as(i64p),
+        rev.ctypes.data_as(u8p), ref_start.ctypes.data_as(i64p),
+        ref_end.ctypes.data_as(i64p), edit_dist.ctypes.data_as(i32p),
+        np.int64(n),
+        counters.ctypes.data_as(i32p), mism_locs.ctypes.data_as(i64p),
+        mism_read_locs.ctypes.data_as(i32p), mism_n.ctypes.data_as(i32p),
+        np.int32(n_threads),
+    )
+    if rc != 0:
+        return None
+    return counters, mism_locs, mism_read_locs, mism_n
 
 
 def native_threads() -> int:

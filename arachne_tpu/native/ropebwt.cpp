@@ -24,7 +24,7 @@
 #include <cstring>
 #include <vector>
 
-#define ARACHNE_NATIVE_ABI 7
+#define ARACHNE_NATIVE_ABI 8
 
 extern "C" int64_t arachne_native_abi() { return ARACHNE_NATIVE_ABI; }
 

@@ -165,6 +165,39 @@ class TestSuperbatch:
             assert snapshot(a) == snapshot(b)
 
 
+class TestNativeCigarWalk:
+    def test_native_walk_matches_python_walk(self, genome, monkeypatch):
+        """The C++ batched GetAlignments cigar walk (native/cigarwalk.cpp)
+        against the in-loop Python walk on the same engine path, over
+        reads with substitutions AND indels (gapped CIGARs, reversed
+        mates, soft clips)."""
+        from arachne_tpu.native import cigar_walk_available
+        from arachne_tpu.rfa.engine import process_barcodes
+
+        if not cigar_walk_available():
+            pytest.skip("native library unavailable")
+        idx, fwd = genome
+        rng = np.random.default_rng(77)
+        sets = []
+        for bi in range(3):
+            recs = make_reads(fwd, rng, n_pairs=6)
+            for ri, r in enumerate(recs):
+                r.barcode = f"W{bi:02d}".encode()
+                r.read_info = f"w{bi}_{r.read_info}"
+                if ri % 2 == 0:
+                    # plant a deletion: drop 3 bases mid-read, extend tail
+                    s = bytearray(r.read1)
+                    del s[40:43]
+                    r.read1 = bytes(s) + b"ACG"
+            sets.append((recs, True))
+        engine = TpuEngine(idx, CFG)
+        monkeypatch.setenv("ARACHNE_NATIVE_CIGARWALK", "0")
+        py = [snapshot(r) for r in process_barcodes(idx, CFG, sets, engine)]
+        monkeypatch.setenv("ARACHNE_NATIVE_CIGARWALK", "1")
+        nat = [snapshot(r) for r in process_barcodes(idx, CFG, sets, engine)]
+        assert py == nat
+
+
 class TestHbmBudgetFallback:
     def test_oversized_tables_fall_back_to_host_seeding(self, monkeypatch, capsys):
         """A single-device mesh whose index tables exceed the HBM budget
