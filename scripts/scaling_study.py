@@ -82,11 +82,21 @@ def run_once(ref, r1, r2, n_devices, threads, extra_env=None, extra_args=None):
     # which dominates the run and measures the wrong thing)
     env.setdefault("ARACHNE_DEVICE_SEEDING", "0")
     env.update(extra_env or {})
-    cmd = [
-        sys.executable, "-m", "arachne_tpu.cli", "align", "--sam",
-        "--engine", "tpu", "-t", str(threads), "--stats-json", stats_path,
-        out, ref, r1, r2,
+    argv = [
+        "align", "--sam", "--engine", "tpu", "-t", str(threads),
+        "--stats-json", stats_path, out, ref, r1, r2,
     ] + (extra_args or [])
+    # the axon TPU plugin ignores JAX_PLATFORMS from the environment
+    # (round-5 finding: an env-only 'cpu' run silently lands on the
+    # 1-chip tunnel and the device count is a lie); force the host
+    # platform through the config API before any jax use, exactly as
+    # tests/conftest.py does, and ASSERT the mesh size inside the run
+    prog = (
+        "import sys, jax; jax.config.update('jax_platforms', 'cpu'); "
+        f"assert len(jax.devices()) == {n_devices}, jax.devices(); "
+        "from arachne_tpu.cli import main; main(sys.argv[1:])"
+    )
+    cmd = [sys.executable, "-c", prog] + argv
     t0 = time.time()
     res = subprocess.run(cmd, env=env, capture_output=True, text=True)
     wall = time.time() - t0
