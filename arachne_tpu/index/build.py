@@ -425,7 +425,6 @@ def build_fmindex_incremental(
             "(native/ropebwt.cpp failed to build or load); use build_mode='sais'"
         )
     bwt_pac2, primary = res
-    del pac2
     bwt_chars = unpack_2bit(bwt_pac2, 0, n)
     del bwt_pac2
     L2 = np.zeros(5, dtype=np.int64)
@@ -433,7 +432,14 @@ def build_fmindex_incremental(
     words = pack_bwt_words(bwt_chars)
     occ = occ_checkpoints(bwt_chars)
     del bwt_chars
-    sampled = sa_sample_walk_native(words, occ, L2, primary, n, sa_intv)
+    # pac2 stays alive for the anchored PARALLEL walk (chunk-boundary
+    # suffix rows come from backward-searching text windows); n/4 bytes
+    # of extra residency buys the concurrency that replaces the serial
+    # ~35-min single-chain chase at human scale
+    sampled = sa_sample_walk_native(
+        words, occ, L2, primary, n, sa_intv, pac2=pac2, progress=prog
+    )
+    del pac2
     if sampled is None:
         raise RuntimeError("native sa_sample_walk unavailable")
     return FMIndexData(

@@ -173,6 +173,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, i64pp,              # sa_intv, out
             ]
             lib.sa_sample_walk.restype = ctypes.c_int
+            lib.sa_sample_walk_par.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                i64pp, i64pp,                       # occ, L2
+                ctypes.c_int64, ctypes.c_int64,     # primary, seq_len
+                ctypes.c_int64, i64pp,              # sa_intv, out
+                u8p,                                # pac2 (2-bit text)
+                ctypes.c_int32, ctypes.c_int32,     # n_chunks, n_threads
+                i64pp,                              # progress
+            ]
+            lib.sa_sample_walk_par.restype = ctypes.c_int
         except AttributeError:
             pass  # stale .so without incremental-build support
         try:
@@ -335,16 +345,45 @@ def sa_sample_walk_native(
     primary: int,
     seq_len: int,
     sa_intv: int,
+    pac2: Optional[np.ndarray] = None,
+    progress: Optional[np.ndarray] = None,
+    n_chunks: int = 64,
 ) -> Optional[np.ndarray]:
-    """Sampled SA via one full LF-cycle walk (bwt_cal_sa, bwt.c:62-84)."""
+    """Sampled SA via the LF-cycle walk (bwt_cal_sa, bwt.c:62-84).
+
+    With ``pac2`` (the 2-bit fwd+rev text) the parallel anchored version
+    runs: chunk-boundary suffix rows found by backward search, segments
+    walked concurrently with interleaved prefetched chains
+    (sa_sample_walk_par; identical output, parity-tested).  Without it,
+    the serial single-chain walk."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "sa_sample_walk"):
         return None
     out = np.zeros(seq_len // sa_intv + 1, dtype=np.int64)
     u32p = ctypes.POINTER(ctypes.c_uint32)
     i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p2 = ctypes.POINTER(ctypes.c_uint8)
     occ_c = np.ascontiguousarray(occ, dtype=np.int64)
     L2_c = np.ascontiguousarray(L2, dtype=np.int64)
+    if pac2 is not None and hasattr(lib, "sa_sample_walk_par"):
+        if progress is None:
+            progress = np.zeros(1, dtype=np.int64)
+        rc = lib.sa_sample_walk_par(
+            bwt_words.ctypes.data_as(u32p),
+            np.int64(len(bwt_words)),
+            occ_c.ctypes.data_as(i64p),
+            L2_c.ctypes.data_as(i64p),
+            np.int64(primary),
+            np.int64(seq_len),
+            np.int64(sa_intv),
+            out.ctypes.data_as(i64p),
+            pac2.ctypes.data_as(u8p2),
+            np.int32(n_chunks),
+            np.int32(native_threads()),
+            progress.ctypes.data_as(i64p),
+        )
+        if rc == 0:
+            return out
     rc = lib.sa_sample_walk(
         bwt_words.ctypes.data_as(u32p),
         np.int64(len(bwt_words)),

@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <chrono>
 #include <vector>
 #include <thread>
 
@@ -376,6 +377,144 @@ extern "C" int sa_sample_walk(
     for (int64_t v = seq_len; v >= 0; --v) {
         if ((cur & mask) == 0) out_sampled[cur >> shift] = v;
         if (v) cur = inv_psi(fm, cur);
+    }
+    out_sampled[0] = -1;  // bwt_cal_sa's sa[0] = -1 sentinel (bwt.c:83)
+    return 0;
+}
+
+// Parallel sampled-SA construction (bwt_cal_sa semantics, bwt.c:62-84).
+//
+// The serial walk is one 2n-step inv_psi pointer chase (~35 min at
+// GRCh38 scale: every step a dependent DRAM miss).  This version splits
+// the text-position space into chunks and walks them concurrently:
+// the row of the suffix starting at each chunk boundary p is found by
+// FM backward search of the text window T[p, p+L) extended until its SA
+// interval narrows to width 1 (that unique row IS the suffix's row);
+// each walk segment then covers its v-range independently, and every
+// BWT row is visited exactly once globally, so the sampled writes are
+// race-free without locks.  Threads interleave several chunks and
+// prefetch each chain's next rank lines, overlapping the DRAM misses
+// the serial chase pays one at a time.
+static inline int get2bp(const uint8_t* pac2, int64_t i) {
+    return (pac2[i >> 2] >> ((3 - (i & 3)) * 2)) & 3;
+}
+
+// row of the suffix starting at text position p, or -1 if the window
+// never becomes unique (caller retries a shifted boundary)
+static int64_t suffix_row(const FM& fm, const uint8_t* pac2, int64_t n,
+                          int64_t p) {
+    for (int64_t L = 64; L <= 1024; L <<= 1) {
+        if (p + L > n) return -1;
+        int c = get2bp(pac2, p + L - 1);
+        int64_t k = fm.L2[c] + 1, l = fm.L2[c + 1];
+        for (int64_t i = L - 2; i >= 0 && k <= l; --i) {
+            c = get2bp(pac2, p + i);
+            int64_t tk[4], tl[4];
+            occ4(fm, k - 1, tk);
+            occ4(fm, l, tl);
+            k = fm.L2[c] + tk[c] + 1;
+            l = fm.L2[c] + tl[c];
+        }
+        if (k > l) return -1;  // cannot happen for a true substring
+        if (k == l) return k;
+    }
+    return -1;
+}
+
+extern "C" int sa_sample_walk_par(
+    const uint32_t* words, int64_t n_words, const int64_t* occ,
+    const int64_t* L2, int64_t primary, int64_t seq_len,
+    int64_t sa_intv, int64_t* out_sampled, const uint8_t* pac2,
+    int32_t n_chunks, int32_t n_threads, volatile int64_t* progress) {
+    FM fm{words, occ, L2, primary, seq_len, n_words};
+    const int64_t mask = sa_intv - 1;
+    const int shift = __builtin_ctzll((uint64_t)sa_intv);
+    if (n_chunks < 1) n_chunks = 1;
+    // boundaries in v-space; bounds[t] = start of chunk t (v_lo), chunk t
+    // covers [bounds[t], bounds[t+1]); bounds[n_chunks] = seq_len
+    std::vector<int64_t> bounds(n_chunks + 1);
+    std::vector<int64_t> rows(n_chunks + 1, -1);
+    bounds[0] = 0;
+    bounds[n_chunks] = seq_len;
+    rows[n_chunks] = 0;  // row of the $-suffix (v = seq_len) is 0
+    int used = 1;
+    for (int t = 1; t < n_chunks; ++t) {
+        int64_t ideal = seq_len * (int64_t)t / n_chunks;
+        int64_t r = -1, p = ideal;
+        for (int tries = 0; tries < 64 && r < 0; ++tries) {
+            if (p + 1024 > seq_len || p <= bounds[used - 1]) break;
+            r = suffix_row(fm, pac2, seq_len, p);
+            if (r < 0) p -= 1009;  // shift off a repeat and retry
+        }
+        if (r >= 0) {
+            bounds[used] = p;
+            rows[used] = r;
+            ++used;
+        }
+        // else: drop the boundary — the previous chunk absorbs this range
+    }
+    bounds[used] = seq_len;
+    rows[used] = 0;
+    int total = used;  // chunks: [bounds[t], bounds[t+1]) for t in [0,total)
+
+    std::vector<int64_t> done(std::max(total, 1), 0);
+    auto run_range = [&](int t0, int t1) {
+        // interleave this thread's chunks: K independent inv_psi chains
+        // keep K DRAM misses in flight instead of 1
+        int K = t1 - t0;
+        std::vector<int64_t> cur(K), v(K), lo(K);
+        for (int j = 0; j < K; ++j) {
+            int t = t0 + j;
+            cur[j] = rows[t + 1];       // row of suffix at v = bounds[t+1]
+            v[j] = bounds[t + 1];
+            lo[j] = bounds[t];
+            if (t + 1 == total) {
+                // top chunk starts at the $-suffix row and records it
+                out_sampled[0] = seq_len;  // row 0 (always sampled)
+            }
+        }
+        int active = K;
+        while (active > 0) {
+            active = 0;
+            for (int j = 0; j < K; ++j) {
+                if (v[j] <= lo[j]) continue;
+                int64_t c = inv_psi(fm, cur[j]);
+                cur[j] = c;
+                v[j] -= 1;
+                if ((c & mask) == 0) out_sampled[c >> shift] = v[j];
+                if (v[j] > lo[j]) {
+                    ++active;
+                    prefetch_rank(fm, c);  // next step's rank lines
+                }
+            }
+            if (progress) {
+                int64_t d = 0;
+                for (int j = 0; j < K; ++j) d += bounds[t0 + j + 1] - v[j];
+                done[t0] = d;
+            }
+        }
+    };
+    int nt = std::max(1, std::min<int32_t>(n_threads, total));
+    std::vector<std::thread> threads;
+    std::thread reporter;
+    volatile bool stop = false;
+    if (progress) {
+        reporter = std::thread([&]() {
+            while (!stop) {
+                int64_t d = 0;
+                for (int t = 0; t < total; ++t) d += done[t];
+                *progress = d;
+                std::this_thread::sleep_for(std::chrono::milliseconds(500));
+            }
+        });
+    }
+    for (int t = 0; t < nt; ++t)
+        threads.emplace_back(run_range, total * t / nt, total * (t + 1) / nt);
+    for (auto& th : threads) th.join();
+    if (progress) {
+        stop = true;
+        reporter.join();
+        *progress = seq_len;
     }
     out_sampled[0] = -1;  // bwt_cal_sa's sa[0] = -1 sentinel (bwt.c:83)
     return 0;

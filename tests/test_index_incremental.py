@@ -74,6 +74,37 @@ def test_sa_sample_walk_matches_direct_sampling():
     assert np.array_equal(got, want)
 
 
+def test_parallel_anchored_walk_matches_serial():
+    """sa_sample_walk_par (chunked walks from backward-searched anchor
+    rows, the round-5 parallel path) against the serial single-chain walk
+    AND direct SA sampling, over a text with planted repeats (anchor
+    windows must skip over non-unique regions)."""
+    from arachne_tpu.index.build import pack_2bit
+
+    rng = np.random.default_rng(7)
+    n = 200_000
+    codes = rng.integers(0, 4, n).astype(np.uint8)
+    unit = codes[1000:3000].copy()
+    for at in (50_000, 90_000, 130_000):   # exact 2 kb repeats
+        codes[at : at + 2000] = unit
+    sa = suffix_array(codes)
+    bwt, primary = bwt_from_sa(codes, sa)
+    words = pack_bwt_words(bwt)
+    occ = occ_checkpoints(bwt)
+    L2 = np.zeros(5, dtype=np.int64)
+    np.cumsum(np.bincount(codes, minlength=4).astype(np.int64), out=L2[1:])
+    want = sa[np.arange(0, n + 1, 32)].astype(np.int64)
+    want[0] = -1
+    serial = sa_sample_walk_native(words, occ, L2, primary, n, 32)
+    for n_chunks in (1, 7, 64):
+        par = sa_sample_walk_native(
+            words, occ, L2, primary, n, 32,
+            pac2=pack_2bit(codes), n_chunks=n_chunks,
+        )
+        assert np.array_equal(par, want), f"n_chunks={n_chunks}"
+    assert np.array_equal(serial, want)
+
+
 def _random_contigs(rng, sizes):
     out = []
     for i, size in enumerate(sizes):
